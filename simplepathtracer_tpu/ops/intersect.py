@@ -1,0 +1,92 @@
+"""Batched ray-sphere intersection: the innermost hot loop.
+
+Reference counterpart: ``cd::FindClosestIntersectionSphere``
+(include/Collision.hpp:87-109) — an O(S) scalar scan per ray with a
+``uint8_t`` index (which silently truncates past 255 spheres) and a
+distance-squared comparison.  The TPU form is a dense ``[N rays, S spheres]``
+computation whose two inner products are expressed as ``[N,3] @ [3,S]``
+matmuls (MXU work), followed by VPU elementwise math and a masked argmin
+over the sphere axis; indices are int32, comparison is on the ray parameter t.
+
+Numerics: the geometric form ``t = t_center -/+ sqrt(r^2 - d_perp^2)``
+(include/Collision.hpp:19-47) is kept, with the discriminant clamped before
+the sqrt so gradients stay finite at grazing hits (SURVEY.md S7 "hard
+parts").  Both quadratic roots are computed; the far root is used when the
+near one is behind ``t_min`` — required for dielectric interior hits and for
+Shirley's negative-radius hollow glass, and the fix for the reference's
+"forward-facing" test (Collision.hpp:99) which can only see near roots.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Hit(NamedTuple):
+    t: jax.Array        # [N] f32 — ray parameter of closest hit (t_max if miss)
+    index: jax.Array    # [N] i32 — sphere index of closest hit (0 if miss)
+    hit: jax.Array      # [N] bool — any sphere hit in (t_min, t_max)
+    point: jax.Array    # [N, 3] f32 — hit point
+    normal: jax.Array   # [N, 3] f32 — outward normal (flipped for radius < 0)
+
+
+# Gradient floor for sqrt(disc): keeps d sqrt/d theta finite at grazing hits.
+_DISC_EPS = 1e-12
+
+
+def ray_sphere_ts(origins, dirs, centers, radii, t_min):
+    """Per (ray, sphere) candidate hit parameter.
+
+    Returns (t [N,S], valid [N,S]).  MXU-friendly: the only O(N*S*3) work is
+    two matmuls; everything else is rank-2 elementwise.
+    """
+    # t_center[n,s] = (c_s - o_n) . d_n
+    # precision=HIGHEST: TPU (and this CPU build) default f32 matmuls to
+    # bf16 passes; intersection geometry needs true f32 (bf16 t errors are
+    # ~1e-2 — visible acne). HIGHEST selects the bf16x6/f32 exact path.
+    hi = jax.lax.Precision.HIGHEST
+    d_dot_c = jnp.matmul(dirs, centers.T, precision=hi)         # [N,S] (MXU)
+    o_dot_d = jnp.sum(origins * dirs, -1, keepdims=True)        # [N,1]
+    tc = d_dot_c - o_dot_d
+    # |oc|^2 = |c|^2 - 2 o.c + |o|^2
+    o_dot_c = jnp.matmul(origins, centers.T, precision=hi)      # [N,S] (MXU)
+    oc2 = (
+        jnp.sum(centers * centers, -1)[None, :]
+        - 2.0 * o_dot_c
+        + jnp.sum(origins * origins, -1, keepdims=True)
+    )
+    disc = radii[None, :] ** 2 - (oc2 - tc * tc)
+    valid = disc > 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, _DISC_EPS))
+    t_near = tc - sq
+    t_far = tc + sq
+    # Near root if it is in front of t_min, else far root (ray starts inside
+    # or on the sphere — dielectric interiors, hollow-glass shells).
+    t = jnp.where(t_near > t_min, t_near, t_far)
+    return t, valid
+
+
+def intersect_scene(origins, dirs, scene, t_min=1e-3, t_max=3.0e7) -> Hit:
+    """Closest hit over all spheres for a batch of rays.
+
+    origins, dirs: [N, 3] f32 (dirs unit length).
+    """
+    t, valid = ray_sphere_ts(origins, dirs, scene.centers, scene.radii, t_min)
+    ok = valid & (t > t_min) & (t < t_max)
+    t_sel = jnp.where(ok, t, t_max)
+    index = jnp.argmin(t_sel, axis=-1).astype(jnp.int32)
+    t_hit = jnp.take_along_axis(t_sel, index[:, None], axis=-1)[:, 0]
+    hit = t_hit < t_max
+
+    point = origins + t_hit[:, None] * dirs
+    c = scene.centers[index]            # [N,3] gather
+    r = scene.radii[index]              # [N]
+    # Outward normal; dividing by signed radius flips it for hollow glass
+    # (negative radii), matching Shirley.  Renormalize for fp robustness on
+    # huge ground spheres.
+    n = (point - c) / r[:, None]
+    n = n / jnp.sqrt(jnp.sum(n * n, -1, keepdims=True) + 1e-20)
+    return Hit(t=t_hit, index=index, hit=hit, point=point, normal=n)

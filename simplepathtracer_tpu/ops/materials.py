@@ -1,0 +1,110 @@
+"""Branchless material shading: one masked-select step for all rays.
+
+Reference counterpart: the per-hit ``switch (g_materials[i])`` dispatch into
+SampleColorDiffuse/Reflective/Refractive (include/SingleThreadPathTracer.hpp:
+94-112) and the wavefront tracer's material-binned queues
+(include/TaskBasedPathTracer.hpp:9-30).  On TPU uniform control flow beats
+compaction: every ray computes all three scatter candidates on the VPU and a
+``jnp.where`` over the material id picks one (SURVEY.md S7 design stance).
+
+Semantics are the *intended* Shirley ones (the reference's quirks — 0.5
+hard-coded diffuse falloff, hit-point added into the diffuse direction at
+SingleThreadPathTracer.hpp:32, ignored colors for metal/glass — are
+documented divergences; see SURVEY.md S2 "Material model").
+
+Differentiability: sampled noise is treated as a reparameterized constant
+(`stop_gradient` on the random draws' *selection* effects only); gradients
+flow through albedo/fuzz/ior/centers/radii via the throughput product and
+the hit geometry (SURVEY.md S7 stage 4).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..types import Material
+from .sampling import in_sphere_vectors, unit_vectors
+
+
+def sky_color(dirs, sky_lo, sky_hi):
+    """Vertical sky gradient.
+
+    Generalizes both the reference's ``initColor * (dir.y + 1) / 2``
+    (include/SingleThreadPathTracer.hpp:11-19; sky_lo = 0) and Shirley's
+    white-to-blue lerp.
+    """
+    s = 0.5 * (dirs[..., 1:2] + 1.0)
+    return sky_lo + (sky_hi - sky_lo) * s
+
+
+def _reflect(d, n):
+    """Mirror reflection (include/Math.hpp:156 semantics)."""
+    return d - 2.0 * jnp.sum(d * n, -1, keepdims=True) * n
+
+
+def _safe_normalize(v, fallback):
+    n2 = jnp.sum(v * v, -1, keepdims=True)
+    unit = v / jnp.sqrt(jnp.maximum(n2, 1e-20))
+    return jnp.where(n2 > 1e-12, unit, fallback)
+
+
+def scatter(dirs, hit, scene, gauss, unif):
+    """One surface interaction for every ray in the wavefront.
+
+    Args:
+      dirs: [N,3] incident unit directions.
+      hit: Hit namedtuple from intersect_scene.
+      scene: Scene.
+      gauss: [N,6] standard normals; unif: [N,3] uniforms (see bounce_noise).
+
+    Returns (new_dirs [N,3], attenuation [N,3], scattered [N] bool).
+    ``scattered`` is False for metal rays absorbed into the surface
+    (Shirley's dot(scatter, normal) <= 0 check).
+    """
+    mat = scene.material[hit.index]          # [N] i32
+    albedo = scene.albedo[hit.index]         # [N,3]
+    fuzz = scene.fuzz[hit.index]             # [N]
+    ior = scene.ior[hit.index]               # [N]
+
+    n = hit.normal
+    # Face-forward normal: outward if the ray arrives from outside.
+    front = jnp.sum(dirs * n, -1) < 0.0      # [N]
+    n_face = jnp.where(front[:, None], n, -n)
+
+    # --- Lambertian (reference Material::DIFFUSE,
+    #     SingleThreadPathTracer.hpp:21-37) -----------------------------
+    lam_dir = _safe_normalize(n_face + unit_vectors(gauss[:, :3]), n_face)
+
+    # --- Metal (reference Material::REFLECTIVE, :39-46) ----------------
+    refl = _reflect(dirs, n_face)
+    metal_dir = _safe_normalize(
+        refl + fuzz[:, None] * in_sphere_vectors(gauss[:, 3:6], unif[:, 0]), n_face
+    )
+    metal_ok = jnp.sum(metal_dir * n_face, -1) > 0.0
+
+    # --- Dielectric (reference Material::REFRACTIVE, :48-92) -----------
+    # eta ratio entering vs exiting; Schlick + total-internal-reflection.
+    eta = jnp.where(front, 1.0 / ior, ior)   # [N]
+    cos_t = jnp.minimum(-jnp.sum(dirs * n_face, -1), 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    cannot_refract = eta * sin_t > 1.0
+    r0 = ((1.0 - eta) / (1.0 + eta)) ** 2
+    reflect_prob = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
+    coin = unif[:, 1]
+    do_reflect = cannot_refract | (coin < jax.lax.stop_gradient(reflect_prob))
+    # Refraction (Snell): perp + parallel decomposition.
+    perp = eta[:, None] * (dirs + cos_t[:, None] * n_face)
+    par_len = jnp.sqrt(jnp.maximum(1.0 - jnp.sum(perp * perp, -1), 0.0))
+    refr = perp - par_len[:, None] * n_face
+    diel_dir = jnp.where(do_reflect[:, None], _reflect(dirs, n_face), refr)
+    diel_dir = _safe_normalize(diel_dir, n_face)
+
+    # --- Select by material (branchless) --------------------------------
+    is_metal = mat == Material.METAL
+    is_diel = mat == Material.DIELECTRIC
+    new_dirs = jnp.where(is_metal[:, None], metal_dir, lam_dir)
+    new_dirs = jnp.where(is_diel[:, None], diel_dir, new_dirs)
+    attenuation = jnp.where(is_diel[:, None], jnp.ones_like(albedo), albedo)
+    scattered = jnp.where(is_metal, metal_ok, True)
+    return new_dirs, attenuation, scattered

@@ -1,0 +1,144 @@
+"""The wavefront megakernel: batched masked path tracing under ``lax.scan``.
+
+Design (SURVEY.md S7): the reference forks into a recursive megakernel
+(include/SingleThreadPathTracer.hpp:94-137) and a material-binned wavefront
+with compaction queues (include/TaskBasedPathTracer.hpp:54-206).  On TPU the
+right shape is a single *uniform* wavefront — every live ray advances one
+bounce per ``lax.scan`` step, materials resolved with masked selects, dead
+rays masked rather than compacted (uniform control flow beats queues on a
+vector machine).  The reference's unbounded specular recursion
+(SingleThreadPathTracer.hpp:45,63 never decrement bounceCount) becomes a
+fixed ``max_depth`` budget for every material.
+
+Each bounce body is wrapped in ``jax.checkpoint`` so the backward pass of a
+``max_depth``-step scan rematerializes per bounce instead of storing all
+[N, S] intersection intermediates (SURVEY.md S7 hard part 4).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .camera import generate_rays
+from .ops.intersect import intersect_scene
+from .ops.materials import scatter, sky_color
+from .ops.sampling import bounce_noise, camera_jitter, ray_keys
+from .types import Camera, RenderConfig, RenderState, Scene
+
+
+def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
+    """Trace a batch of rays to completion. Returns radiance [N, 3].
+
+    The bounce loop is the TPU form of TraceAndSampleColor
+    (SingleThreadPathTracer.hpp:94-112): closest hit -> material scatter ->
+    throughput update, with the sky gradient as the miss shader and a live
+    mask instead of early returns.
+    """
+
+    def bounce(carry, b):
+        o, d, tp, rad, alive = carry
+        hit = intersect_scene(o, d, scene, config.t_min, config.t_max)
+        gauss, unif = bounce_noise(keys, b)
+
+        # Miss shader: sky gradient, terminal (SingleThreadPathTracer.hpp:11-19).
+        miss = alive & ~hit.hit
+        rad = rad + tp * sky_color(d, scene.sky_lo, scene.sky_hi) * miss[:, None]
+
+        new_d, att, scattered = scatter(d, hit, scene, gauss, unif)
+        live = alive & hit.hit
+        surviving = live & scattered
+        tp = jnp.where(surviving[:, None], tp * att, tp)
+        o = jnp.where(live[:, None], hit.point, o)
+        d = jnp.where(surviving[:, None], new_d, d)
+        return (o, d, tp, rad, surviving), None
+
+    n = origins.shape[0]
+    init = (
+        origins,
+        dirs,
+        jnp.ones((n, 3), jnp.float32),
+        jnp.zeros((n, 3), jnp.float32),
+        jnp.ones((n,), bool),
+    )
+    (o, d, tp, rad, alive), _ = jax.lax.scan(
+        jax.checkpoint(bounce), init, jnp.arange(config.max_depth, dtype=jnp.uint32)
+    )
+    # Rays still alive after the bounce budget return black (Shirley), like
+    # the wavefront tracer's dropped 10th-pass rays (TaskBasedPathTracer.hpp:81).
+    return rad
+
+
+def render_pixels(
+    scene: Scene,
+    camera: Camera,
+    config: RenderConfig,
+    key,
+    pixel_ids,
+    sample_ids,
+):
+    """Radiance for explicit (pixel, sample) pairs — the sharding-friendly
+    core unit: any slice of the global (pixel, sample) grid renders
+    identically regardless of which device computes it."""
+    keys = ray_keys(key, pixel_ids, sample_ids)
+    jit4 = camera_jitter(keys)
+    origins, dirs = generate_rays(camera, config.width, config.height, pixel_ids, jit4)
+    return trace_rays(origins, dirs, keys, scene, config)
+
+
+def render_sample_batch(scene, camera, config, key, sample_offset, n_samples):
+    """Sum of radiance over ``n_samples`` consecutive sample ids for every
+    pixel. Returns [P, 3] radiance sum (not yet averaged)."""
+    p = config.num_pixels
+    pixel_ids = jnp.tile(jnp.arange(p, dtype=jnp.int32), (n_samples,))
+    sample_ids = jnp.repeat(
+        sample_offset + jnp.arange(n_samples, dtype=jnp.int32), p
+    )
+    rad = render_pixels(scene, camera, config, key, pixel_ids, sample_ids)
+    return jnp.sum(rad.reshape(n_samples, p, 3), axis=0)
+
+
+def init_state(config: RenderConfig, key) -> RenderState:
+    return RenderState(
+        accum=jnp.zeros((config.height, config.width, 3), jnp.float32),
+        sample_count=jnp.zeros((), jnp.int32),
+        next_key=key,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config", "n_samples"))
+def accumulate(
+    state: RenderState, scene: Scene, camera: Camera, config: RenderConfig, n_samples: int
+) -> RenderState:
+    """Progressive accumulation: fold ``n_samples`` more spp into the state.
+
+    Deterministic resume: sample ids continue from ``state.sample_count``, so
+    stop/checkpoint/restart yields the bit-identical image as an
+    uninterrupted run (the reference loses everything on a crash —
+    SURVEY.md S5 checkpoint row).
+    """
+    chunk = config.spp_chunk or n_samples
+    chunk = min(chunk, n_samples)
+    n_steps, rem = divmod(n_samples, chunk)
+    assert rem == 0, "n_samples must be divisible by spp_chunk"
+
+    def step(accum, i):
+        off = state.sample_count + i * chunk
+        batch = render_sample_batch(scene, camera, config, state.next_key, off, chunk)
+        return accum + batch.reshape(config.height, config.width, 3), None
+
+    accum, _ = jax.lax.scan(step, state.accum, jnp.arange(n_steps))
+    return RenderState(
+        accum=accum,
+        sample_count=state.sample_count + n_samples,
+        next_key=state.next_key,
+    )
+
+
+def render(scene: Scene, camera: Camera, config: RenderConfig, key) -> jax.Array:
+    """One-shot render: [H, W, 3] gamma-corrected float image in [0, 1]."""
+    state = init_state(config, key)
+    state = accumulate(state, scene, camera, config, config.spp)
+    return state.image(config.gamma)

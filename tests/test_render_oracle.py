@@ -1,0 +1,86 @@
+"""Golden-image tests: JAX wavefront renderer vs the independent NumPy
+oracle (SURVEY.md S4 item 2).  The two implementations share no structure
+and use different RNG streams, so agreement is statistical: mean image
+within Monte-Carlo error bounds at matched spp."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import simplepathtracer_tpu as spt
+from simplepathtracer_tpu.oracle.cpu_oracle import render_oracle
+
+
+def _compare(scene, cam, width, height, spp, depth, mean_tol, p99_tol):
+    cfg = spt.RenderConfig(width=width, height=height, spp=spp, max_depth=depth)
+    img = np.asarray(spt.render(scene, cam, cfg, jax.random.PRNGKey(7)))
+    ref = render_oracle(scene, cam, width, height, spp, depth, seed=3)
+    diff = np.abs(img - ref)
+    assert diff.mean() < mean_tol, f"mean abs diff {diff.mean():.4f}"
+    assert np.quantile(diff, 0.99) < p99_tol, f"p99 abs diff {np.quantile(diff, 0.99):.4f}"
+
+
+def test_config1_simple_scene_matches_oracle():
+    # BASELINE config 1 at reduced size to keep the Python oracle fast.
+    scene = spt.simple_scene()
+    cam = spt.make_camera(origin=(0, 0, -1), lookat=(0, 0, 1), vfov_deg=90)
+    _compare(scene, cam, 64, 32, 32, 8, mean_tol=0.015, p99_tol=0.08)
+
+
+def test_config2_three_spheres_hollow_glass_matches_oracle():
+    scene = spt.three_sphere_scene(hollow_glass=True)
+    cam = spt.make_camera(origin=(0, 0, -1), lookat=(0, 0, 1), vfov_deg=90)
+    _compare(scene, cam, 64, 32, 32, 10, mean_tol=0.02, p99_tol=0.12)
+
+
+def test_reference_scene_matches_oracle():
+    scene = spt.reference_scene()
+    cam = spt.make_camera(origin=(0, 1, -3), lookat=(0, 1, 0), vfov_deg=90)
+    _compare(scene, cam, 48, 32, 24, 8, mean_tol=0.02, p99_tol=0.15)
+
+
+def test_render_deterministic():
+    scene = spt.simple_scene()
+    cam = spt.make_camera(origin=(0, 0, -1), lookat=(0, 0, 1))
+    cfg = spt.RenderConfig(width=32, height=16, spp=4, max_depth=4)
+    a = np.asarray(spt.render(scene, cam, cfg, jax.random.PRNGKey(0)))
+    b = np.asarray(spt.render(scene, cam, cfg, jax.random.PRNGKey(0)))
+    np.testing.assert_array_equal(a, b)
+    c = np.asarray(spt.render(scene, cam, cfg, jax.random.PRNGKey(1)))
+    assert not np.array_equal(a, c)
+
+
+def test_progressive_accumulation_equals_oneshot():
+    # accumulate(8) == accumulate(4) twice — resume-from-snapshot semantics.
+    scene = spt.simple_scene()
+    cam = spt.make_camera(origin=(0, 0, -1), lookat=(0, 0, 1))
+    cfg = spt.RenderConfig(width=32, height=16, spp=8, max_depth=4)
+    key = jax.random.PRNGKey(5)
+    s_once = spt.accumulate(spt.init_state(cfg, key), scene, cam, cfg, 8)
+    s_twice = spt.init_state(cfg, key)
+    s_twice = spt.accumulate(s_twice, scene, cam, cfg, 4)
+    s_twice = spt.accumulate(s_twice, scene, cam, cfg, 4)
+    np.testing.assert_allclose(
+        np.asarray(s_once.accum), np.asarray(s_twice.accum), rtol=1e-6, atol=1e-6
+    )
+    assert int(s_twice.sample_count) == 8
+
+
+def test_spp_chunking_invariance():
+    # Same image whether samples are traced in one batch or chunked scans.
+    scene = spt.three_sphere_scene()
+    cam = spt.make_camera(origin=(0, 0, -1), lookat=(0, 0, 1))
+    key = jax.random.PRNGKey(2)
+    img_full = np.asarray(
+        spt.render(scene, cam, spt.RenderConfig(width=32, height=16, spp=8, max_depth=6), key)
+    )
+    img_chunk = np.asarray(
+        spt.render(
+            scene,
+            cam,
+            spt.RenderConfig(width=32, height=16, spp=8, max_depth=6, spp_chunk=2),
+            key,
+        )
+    )
+    np.testing.assert_allclose(img_full, img_chunk, rtol=1e-5, atol=1e-5)
