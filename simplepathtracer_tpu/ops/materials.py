@@ -87,15 +87,20 @@ def scatter(dirs, hit, scene, gauss, unif):
     # eta ratio entering vs exiting; Schlick + total-internal-reflection.
     eta = jnp.where(front, 1.0 / ior, ior)   # [N]
     cos_t = jnp.minimum(-jnp.sum(dirs * n_face, -1), 1.0)
-    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-    cannot_refract = eta * sin_t > 1.0
+    # TIR test without a sqrt: eta^2 sin^2 > 1 (booleans carry no gradient,
+    # and sqrt'(0) = inf would NaN-poison grads through the unselected
+    # branch of the material select below).
+    sin2 = jnp.maximum(1.0 - cos_t * cos_t, 0.0)
+    cannot_refract = eta * eta * sin2 > 1.0
     r0 = ((1.0 - eta) / (1.0 + eta)) ** 2
     reflect_prob = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
     coin = unif[:, 1]
     do_reflect = cannot_refract | (coin < jax.lax.stop_gradient(reflect_prob))
-    # Refraction (Snell): perp + parallel decomposition.
+    # Refraction (Snell): perp + parallel decomposition.  The clamp floor is
+    # strictly positive so d sqrt/d theta stays finite at the TIR boundary
+    # and at head-on hits (cos_t == 1 exactly after the min clamp).
     perp = eta[:, None] * (dirs + cos_t[:, None] * n_face)
-    par_len = jnp.sqrt(jnp.maximum(1.0 - jnp.sum(perp * perp, -1), 0.0))
+    par_len = jnp.sqrt(jnp.maximum(1.0 - jnp.sum(perp * perp, -1), 1e-12))
     refr = perp - par_len[:, None] * n_face
     diel_dir = jnp.where(do_reflect[:, None], _reflect(dirs, n_face), refr)
     diel_dir = _safe_normalize(diel_dir, n_face)

@@ -29,6 +29,23 @@ from .ops.sampling import bounce_noise, camera_jitter, ray_keys
 from .types import Camera, RenderConfig, RenderState, Scene
 
 
+def _vary_like(xs, refs):
+    """Cast fresh constants to the union of the refs' varying manual axes.
+
+    Under ``shard_map`` a ``lax.scan`` carry must have the same vma set as the
+    body's output; constants created inside the body are unvarying while
+    values derived from sharded inputs are varying, so scan inits built from
+    ``jnp.zeros``/``ones`` need an explicit ``pcast``.  Outside shard_map this
+    is the identity.
+    """
+    vma = frozenset()
+    for r in jax.tree.leaves(refs):
+        vma |= getattr(jax.typeof(r), "vma", frozenset())
+    if not vma:
+        return xs
+    return jax.tree.map(lambda x: jax.lax.pcast(x, tuple(vma), to="varying"), xs)
+
+
 def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
     """Trace a batch of rays to completion. Returns radiance [N, 3].
 
@@ -56,13 +73,11 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
         return (o, d, tp, rad, surviving), None
 
     n = origins.shape[0]
-    init = (
-        origins,
-        dirs,
-        jnp.ones((n, 3), jnp.float32),
-        jnp.zeros((n, 3), jnp.float32),
-        jnp.ones((n,), bool),
+    tp0, rad0, alive0 = _vary_like(
+        (jnp.ones((n, 3), jnp.float32), jnp.zeros((n, 3), jnp.float32), jnp.ones((n,), bool)),
+        (origins, dirs, keys),
     )
+    init = (origins, dirs, tp0, rad0, alive0)
     (o, d, tp, rad, alive), _ = jax.lax.scan(
         jax.checkpoint(bounce), init, jnp.arange(config.max_depth, dtype=jnp.uint32)
     )
@@ -86,6 +101,35 @@ def render_pixels(
     jit4 = camera_jitter(keys)
     origins, dirs = generate_rays(camera, config.width, config.height, pixel_ids, jit4)
     return trace_rays(origins, dirs, keys, scene, config)
+
+
+def render_pixel_block(scene, camera, config, key, pixel_ids, sample_offset, n_samples):
+    """Radiance sum over ``n_samples`` consecutive sample ids for an explicit
+    block of pixels. Returns [len(pixel_ids), 3] radiance sum (not averaged).
+
+    This is the unit each device computes under ``shard_map``: the reference's
+    analog is one image tile rendered by one worker thread
+    (include/Renderer.hpp:242-255) — but here *which* device renders a block
+    cannot change the result, because all randomness is keyed by global
+    (pixel, sample) ids.  Samples are folded in ``spp_chunk``-sized scan steps
+    to bound live memory.
+    """
+    p = pixel_ids.shape[0]
+    chunk = config.spp_chunk or n_samples
+    chunk = min(chunk, n_samples)
+    n_steps, rem = divmod(n_samples, chunk)
+    assert rem == 0, "n_samples must be divisible by spp_chunk"
+
+    def step(acc, i):
+        off = sample_offset + i * chunk
+        pids = jnp.tile(pixel_ids, (chunk,))
+        sids = jnp.repeat(off + jnp.arange(chunk, dtype=jnp.int32), p)
+        rad = render_pixels(scene, camera, config, key, pids, sids)
+        return acc + jnp.sum(rad.reshape(chunk, p, 3), axis=0), None
+
+    acc0 = _vary_like(jnp.zeros((p, 3), jnp.float32), (pixel_ids, sample_offset, key))
+    acc, _ = jax.lax.scan(step, acc0, jnp.arange(n_steps))
+    return acc
 
 
 def render_sample_batch(scene, camera, config, key, sample_offset, n_samples):

@@ -1,13 +1,24 @@
-"""Test env: force CPU backend with 8 virtual devices BEFORE jax imports.
+"""Test env: force CPU backend with 8 virtual devices BEFORE any backend init.
 
 This is the SURVEY.md S4 "distributed-without-a-cluster" pattern: sharding
 tests run on a fake 8-device CPU mesh so multi-chip code paths are exercised
 on any machine.
+
+Note: on the TPU-tunnel image a sitecustomize imports jax at interpreter
+startup (before conftest), so setting JAX_PLATFORMS via os.environ here is
+too late — jax captured the env at import.  Backends are not *initialized*
+until first use though, so updating jax.config still works.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
+assert len(jax.devices()) == 8, jax.devices()
