@@ -52,7 +52,8 @@ def main():
         aperture=0.1, focus_dist=10.0,
     )
     config = spt.RenderConfig(
-        width=WIDTH, height=HEIGHT, spp=BENCH_SPP, max_depth=DEPTH, spp_chunk=1
+        width=WIDTH, height=HEIGHT, spp=BENCH_SPP, max_depth=DEPTH, spp_chunk=1,
+        use_pallas=True,
     )
     key = jax.random.PRNGKey(0)
 

@@ -1,8 +1,11 @@
-from .intersect import Hit, intersect_scene  # noqa: F401
+from .intersect import Hit, intersect_scene, intersect_scene_pallas  # noqa: F401
 from .materials import scatter, sky_color  # noqa: F401
 from .sampling import (  # noqa: F401
-    ray_keys,
+    RayCtx,
     bounce_noise,
-    unit_vectors,
-    in_sphere_vectors,
+    camera_jitter,
+    in_unit_ball,
+    ray_keys,
+    threefry2x32,
+    unit_sphere_surface,
 )

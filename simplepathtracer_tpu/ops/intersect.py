@@ -69,6 +69,48 @@ def ray_sphere_ts(origins, dirs, centers, radii, t_min):
     return t, valid
 
 
+def _hit_from_index(origins, dirs, idx, scene, t_min, t_max) -> Hit:
+    """Differentiable hit reconstruction from a (detached) winner index.
+
+    Recomputes t for the selected sphere only — ~20 jnp ops on [N]-sized
+    arrays — so gradients w.r.t. centers/radii flow through the gather while
+    the discrete argmin stays locally constant (SURVEY.md S7 stage 4).
+    """
+    hit = idx >= 0
+    i = jnp.maximum(idx, 0)
+    c = scene.centers[i]                 # [N,3]
+    r = scene.radii[i]                   # [N]
+    oc = c - origins
+    tc = jnp.sum(oc * dirs, -1)
+    disc = r * r - (jnp.sum(oc * oc, -1) - tc * tc)
+    sq = jnp.sqrt(jnp.maximum(disc, _DISC_EPS))
+    t_near = tc - sq
+    t = jnp.where(t_near > t_min, t_near, tc + sq)
+    t = jnp.where(hit, t, t_max)
+    point = origins + t[:, None] * dirs
+    n = (point - c) / r[:, None]
+    n = n / jnp.sqrt(jnp.sum(n * n, -1, keepdims=True) + 1e-20)
+    return Hit(t=t, index=i, hit=hit, point=point, normal=n)
+
+
+def intersect_scene_pallas(
+    origins, dirs, alive, scene, t_min=1e-3, t_max=3.0e7, interpret=False
+) -> Hit:
+    """Closest hit via the fused Pallas kernel (ops/pallas_intersect.py).
+
+    The kernel sees detached inputs (it returns only the discrete argmin);
+    the differentiable t/point/normal are rebuilt by _hit_from_index.
+    """
+    from .pallas_intersect import closest_hit_pallas
+
+    sg = jax.lax.stop_gradient
+    idx, _ = closest_hit_pallas(
+        sg(origins), sg(dirs), alive, sg(scene.centers), sg(scene.radii),
+        t_min=t_min, t_max=t_max, interpret=interpret,
+    )
+    return _hit_from_index(origins, dirs, idx, scene, t_min, t_max)
+
+
 def intersect_scene(origins, dirs, scene, t_min=1e-3, t_max=3.0e7) -> Hit:
     """Closest hit over all spheres for a batch of rays.
 

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..types import Material
-from .sampling import in_sphere_vectors, unit_vectors
+from .sampling import in_unit_ball, unit_sphere_surface
 
 
 def sky_color(dirs, sky_lo, sky_hi):
@@ -49,14 +49,14 @@ def _safe_normalize(v, fallback):
     return jnp.where(n2 > 1e-12, unit, fallback)
 
 
-def scatter(dirs, hit, scene, gauss, unif):
+def scatter(dirs, hit, scene, unif):
     """One surface interaction for every ray in the wavefront.
 
     Args:
       dirs: [N,3] incident unit directions.
       hit: Hit namedtuple from intersect_scene.
       scene: Scene.
-      gauss: [N,6] standard normals; unif: [N,3] uniforms (see bounce_noise).
+      unif: [N,7] uniforms (bounce_noise column contract).
 
     Returns (new_dirs [N,3], attenuation [N,3], scattered [N] bool).
     ``scattered`` is False for metal rays absorbed into the surface
@@ -74,12 +74,15 @@ def scatter(dirs, hit, scene, gauss, unif):
 
     # --- Lambertian (reference Material::DIFFUSE,
     #     SingleThreadPathTracer.hpp:21-37) -----------------------------
-    lam_dir = _safe_normalize(n_face + unit_vectors(gauss[:, :3]), n_face)
+    lam_dir = _safe_normalize(
+        n_face + unit_sphere_surface(unif[:, 0], unif[:, 1]), n_face
+    )
 
     # --- Metal (reference Material::REFLECTIVE, :39-46) ----------------
     refl = _reflect(dirs, n_face)
     metal_dir = _safe_normalize(
-        refl + fuzz[:, None] * in_sphere_vectors(gauss[:, 3:6], unif[:, 0]), n_face
+        refl + fuzz[:, None] * in_unit_ball(unif[:, 2], unif[:, 3], unif[:, 4]),
+        n_face,
     )
     metal_ok = jnp.sum(metal_dir * n_face, -1) > 0.0
 
@@ -94,7 +97,7 @@ def scatter(dirs, hit, scene, gauss, unif):
     cannot_refract = eta * eta * sin2 > 1.0
     r0 = ((1.0 - eta) / (1.0 + eta)) ** 2
     reflect_prob = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
-    coin = unif[:, 1]
+    coin = unif[:, 5]
     do_reflect = cannot_refract | (coin < jax.lax.stop_gradient(reflect_prob))
     # Refraction (Snell): perp + parallel decomposition.  The clamp floor is
     # strictly positive so d sqrt/d theta stays finite at the TIR boundary

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from .camera import generate_rays
-from .ops.intersect import intersect_scene
+from .ops.intersect import intersect_scene, intersect_scene_pallas
 from .ops.materials import scatter, sky_color
 from .ops.sampling import bounce_noise, camera_jitter, ray_keys
 from .types import Camera, RenderConfig, RenderState, Scene
@@ -46,6 +46,64 @@ def _vary_like(xs, refs):
     return jax.tree.map(lambda x: jax.lax.pcast(x, tuple(vma), to="varying"), xs)
 
 
+def trace_rays_pallas(origins, dirs, keys, scene: Scene, config: RenderConfig):
+    """Forward-only fast path: the whole bounce runs in one Pallas megakernel
+    per scan step (ops/pallas_bounce.py) on SoA (8, 128) ray tiles.
+
+    Matches trace_rays to fp tolerance (identical threefry streams, same
+    material math) but is NOT differentiable — gradient paths use the jnp
+    bounce below.
+    """
+    from .ops.pallas_bounce import bounce_step_pallas
+
+    n = origins.shape[0]
+    n_pad = -(-n // 1024) * 1024
+    pad = n_pad - n
+    rows = n_pad // 128
+
+    def pack(col, fill=0.0):
+        if pad:
+            col = jnp.concatenate([col, jnp.full((pad,), fill, col.dtype)])
+        return col.reshape(rows, 128)
+
+    zeros = jnp.zeros((rows, 128), jnp.float32)
+    ones = jnp.ones((rows, 128), jnp.float32)
+    state = (
+        pack(origins[:, 0]), pack(origins[:, 1]), pack(origins[:, 2]),
+        pack(dirs[:, 0]), pack(dirs[:, 1]), pack(dirs[:, 2]),
+        ones, ones, ones,            # throughput rgb
+        zeros, zeros, zeros,         # radiance rgb
+        pack(jnp.ones((n,), jnp.float32), 0.0),   # alive (padding dead)
+    )
+    state = _vary_like(state, (origins, dirs, keys))
+    pix = pack(keys.pixel)
+    samp = pack(keys.sample)
+    tables = (
+        scene.centers[:, 0], scene.centers[:, 1], scene.centers[:, 2],
+        scene.radii, scene.radii * scene.radii,
+        scene.albedo[:, 0], scene.albedo[:, 1], scene.albedo[:, 2],
+        scene.material.astype(jnp.int32), scene.fuzz, scene.ior,
+    )
+    sky6 = jnp.concatenate([scene.sky_lo, scene.sky_hi]).astype(jnp.float32)
+
+    def body(st, b):
+        meta = jnp.stack([keys.k0, keys.k1, b]).astype(jnp.uint32)
+        out = bounce_step_pallas(
+            st + (pix, samp), tables, sky6, meta,
+            t_min=config.t_min, t_max=config.t_max,
+            interpret=config.pallas_interpret,
+        )
+        return tuple(out), None
+
+    state, _ = jax.lax.scan(
+        body, state, jnp.arange(config.max_depth, dtype=jnp.uint32)
+    )
+    rr, rg, rb = state[9], state[10], state[11]
+    return jnp.stack(
+        [rr.reshape(-1)[:n], rg.reshape(-1)[:n], rb.reshape(-1)[:n]], axis=-1
+    )
+
+
 def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
     """Trace a batch of rays to completion. Returns radiance [N, 3].
 
@@ -54,17 +112,19 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
     throughput update, with the sky gradient as the miss shader and a live
     mask instead of early returns.
     """
+    if config.use_pallas:
+        return trace_rays_pallas(origins, dirs, keys, scene, config)
 
     def bounce(carry, b):
         o, d, tp, rad, alive = carry
         hit = intersect_scene(o, d, scene, config.t_min, config.t_max)
-        gauss, unif = bounce_noise(keys, b)
+        unif = bounce_noise(keys, b)
 
         # Miss shader: sky gradient, terminal (SingleThreadPathTracer.hpp:11-19).
         miss = alive & ~hit.hit
         rad = rad + tp * sky_color(d, scene.sky_lo, scene.sky_hi) * miss[:, None]
 
-        new_d, att, scattered = scatter(d, hit, scene, gauss, unif)
+        new_d, att, scattered = scatter(d, hit, scene, unif)
         live = alive & hit.hit
         surviving = live & scattered
         tp = jnp.where(surviving[:, None], tp * att, tp)

@@ -146,6 +146,7 @@ class RenderConfig:
     gamma: float = 2.0           # reference gamma (include/IOHelpers.hpp:19: sqrt)
     spp_chunk: int = 0           # 0 => all spp in one pass; else scan over chunks
     use_pallas: bool = False     # use the Pallas fused intersect kernel
+    pallas_interpret: bool = False  # run the kernel interpreted (CPU tests)
     rng_impl: str = "threefry2x32"  # jax PRNG implementation
 
     @property

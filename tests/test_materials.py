@@ -29,9 +29,8 @@ def _hit_and_scatter(scene, o, d, key=0):
     d = d / jnp.linalg.norm(d)
     hit = intersect_scene(o, d, scene)
     assert bool(hit.hit[0])
-    gauss = jax.random.normal(jax.random.PRNGKey(key), (1, 6))
-    unif = jax.random.uniform(jax.random.PRNGKey(key + 1), (1, 3))
-    return hit, scatter(d, hit, scene, gauss, unif)
+    unif = jax.random.uniform(jax.random.PRNGKey(key + 1), (1, 7))
+    return hit, scatter(d, hit, scene, unif)
 
 
 def test_sky_gradient_endpoints():
@@ -60,9 +59,8 @@ def test_lambertian_scatters_into_hemisphere():
     o = jnp.tile(jnp.asarray([[0.0, 0.0, -3.0]]), (512, 1))
     d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (512, 1))
     hit = intersect_scene(o, d, sc)
-    gauss = jax.random.normal(jax.random.PRNGKey(0), (512, 6))
-    unif = jax.random.uniform(jax.random.PRNGKey(1), (512, 3))
-    nd, att, ok = scatter(d, hit, sc, gauss, unif)
+    unif = jax.random.uniform(jax.random.PRNGKey(1), (512, 7))
+    nd, att, ok = scatter(d, hit, sc, unif)
     cos = np.einsum("nk,nk->n", np.asarray(nd), np.asarray(hit.normal))
     assert (cos > -1e-6).all()
     assert np.asarray(ok).all()
@@ -74,9 +72,8 @@ def test_dielectric_refracts_at_normal_incidence():
     o = jnp.asarray([[0.0, 0.0, -3.0]])
     d = jnp.asarray([[0.0, 0.0, 1.0]])
     hit = intersect_scene(o, d, sc)
-    gauss = jnp.zeros((1, 6))
-    unif = jnp.asarray([[0.0, 0.9, 0.0]])  # coin=0.9 > schlick(0.04)
-    nd, att, ok = scatter(d, hit, sc, gauss, unif)
+    unif = jnp.asarray([[0.0, 0.0, 0.0, 0.0, 0.0, 0.9, 0.0]])  # coin > schlick(0.04)
+    nd, att, ok = scatter(d, hit, sc, unif)
     np.testing.assert_allclose(np.asarray(nd[0]), [0, 0, 1], atol=1e-5)
     np.testing.assert_allclose(np.asarray(att[0]), [1, 1, 1], atol=1e-6)
 
@@ -86,8 +83,8 @@ def test_dielectric_reflects_on_low_coin():
     o = jnp.asarray([[0.0, 0.0, -3.0]])
     d = jnp.asarray([[0.0, 0.0, 1.0]])
     hit = intersect_scene(o, d, sc)
-    unif = jnp.asarray([[0.0, 0.01, 0.0]])  # coin < r0 => reflect
-    nd, _, _ = scatter(d, hit, sc, jnp.zeros((1, 6)), unif)
+    unif = jnp.asarray([[0.0, 0.0, 0.0, 0.0, 0.0, 0.01, 0.0]])  # coin < r0 => reflect
+    nd, _, _ = scatter(d, hit, sc, unif)
     np.testing.assert_allclose(np.asarray(nd[0]), [0, 0, -1], atol=1e-5)
 
 
@@ -106,7 +103,7 @@ def test_dielectric_total_internal_reflection():
     # Exit through center => normal parallel to d => no TIR. Instead check
     # the math: choose a chord ray. Recompute via scatter with coin=1 (never
     # Schlick-reflect) and verify unit output and energy (att == 1).
-    unif = jnp.asarray([[0.0, 0.999, 0.0]])
-    nd, att, ok = scatter(d, hit, sc, jnp.zeros((1, 6)), unif)
+    unif = jnp.asarray([[0.0, 0.0, 0.0, 0.0, 0.0, 0.999, 0.0]])
+    nd, att, ok = scatter(d, hit, sc, unif)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(nd[0])), 1.0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(att[0]), [1, 1, 1], atol=1e-6)

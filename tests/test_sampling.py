@@ -12,26 +12,45 @@ import numpy as np
 
 from simplepathtracer_tpu.ops.sampling import (
     bounce_noise,
-    in_sphere_vectors,
+    camera_jitter,
+    in_unit_ball,
     ray_keys,
-    unit_vectors,
+    threefry2x32,
+    unit_sphere_surface,
 )
 
 
-def test_unit_vectors_on_sphere():
-    g = jax.random.normal(jax.random.PRNGKey(0), (4096, 3))
-    v = np.asarray(unit_vectors(g))
+def _uniforms(n, seed=0):
+    k = jax.random.PRNGKey(seed)
+    return jax.random.uniform(k, (n, 3))
+
+
+def test_threefry_matches_jax_prng():
+    """Our hand-vectorized cipher must agree with jax's own threefry2x32."""
+    k = jax.random.PRNGKey(123)
+    kd = k if k.dtype == jnp.uint32 else jax.random.key_data(k)
+    c0 = jnp.arange(64, dtype=jnp.uint32)
+    c1 = jnp.arange(64, dtype=jnp.uint32) * jnp.uint32(7)
+    ours0, ours1 = threefry2x32(kd[0], kd[1], c0, c1)
+    from jax._src.prng import threefry_2x32 as jax_tf
+
+    theirs = jax_tf(kd, jnp.concatenate([c0, c1]))
+    np.testing.assert_array_equal(np.asarray(ours0), np.asarray(theirs[:64]))
+    np.testing.assert_array_equal(np.asarray(ours1), np.asarray(theirs[64:]))
+
+
+def test_unit_sphere_surface_uniform():
+    u = _uniforms(4096)
+    v = np.asarray(unit_sphere_surface(u[:, 0], u[:, 1]))
     np.testing.assert_allclose(np.linalg.norm(v, axis=-1), 1.0, atol=1e-5)
-    # Uniformity: component means near 0, cos-latitude moments match sphere.
+    # Uniformity: component means near 0, second moments match sphere (1/3).
     assert np.abs(v.mean(0)).max() < 0.05
-    np.testing.assert_allclose((v[:, 1] ** 2).mean(), 1.0 / 3.0, atol=0.03)
+    np.testing.assert_allclose((v**2).mean(0), 1.0 / 3.0, atol=0.03)
 
 
-def test_in_sphere_vectors_uniform_in_ball():
-    k = jax.random.PRNGKey(1)
-    g = jax.random.normal(k, (8192, 3))
-    u = jax.random.uniform(jax.random.PRNGKey(2), (8192,))
-    v = np.asarray(in_sphere_vectors(g, u))
+def test_in_unit_ball_uniform():
+    u = _uniforms(8192, seed=1)
+    v = np.asarray(in_unit_ball(u[:, 0], u[:, 1], u[:, 2]))
     r = np.linalg.norm(v, axis=-1)
     assert (r <= 1.0 + 1e-6).all()
     # Uniform ball: E[r] = 3/4, E[r^2] = 3/5.
@@ -39,29 +58,43 @@ def test_in_sphere_vectors_uniform_in_ball():
     np.testing.assert_allclose((r**2).mean(), 0.6, atol=0.02)
 
 
-def test_ray_keys_unique_and_deterministic():
+def test_ray_keys_deterministic_and_distinct():
     base = jax.random.PRNGKey(42)
-    k1 = ray_keys(base, jnp.arange(16), jnp.zeros(16, jnp.int32))
-    k2 = ray_keys(base, jnp.arange(16), jnp.zeros(16, jnp.int32))
-    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
-    # Distinct pixels and distinct samples give distinct keys.
-    k3 = ray_keys(base, jnp.arange(16), jnp.ones(16, jnp.int32))
-    assert not np.array_equal(np.asarray(k1), np.asarray(k3))
-    flat = np.asarray(k1).reshape(16, -1)
-    assert len({tuple(r) for r in flat}) == 16
+    ctx = ray_keys(base, jnp.arange(256), jnp.zeros(256, jnp.int32))
+    u1 = np.asarray(bounce_noise(ctx, 0))
+    u2 = np.asarray(bounce_noise(ctx, 0))
+    np.testing.assert_array_equal(u1, u2)
+    # Distinct samples give distinct noise.
+    ctx_s1 = ray_keys(base, jnp.arange(256), jnp.ones(256, jnp.int32))
+    assert not np.array_equal(u1, np.asarray(bounce_noise(ctx_s1, 0)))
+    # Distinct base keys give distinct noise.
+    ctx_k = ray_keys(jax.random.PRNGKey(43), jnp.arange(256), jnp.zeros(256, jnp.int32))
+    assert not np.array_equal(u1, np.asarray(bounce_noise(ctx_k, 0)))
+    # All pixels distinct.
+    assert len({tuple(r) for r in u1}) == 256
 
 
-def test_bounce_noise_decorrelated_across_bounces():
+def test_bounce_noise_decorrelated_and_uniform():
     base = jax.random.PRNGKey(0)
-    keys = ray_keys(base, jnp.arange(256), jnp.zeros(256, jnp.int32))
-    g0, u0 = bounce_noise(keys, 0)
-    g1, u1 = bounce_noise(keys, 1)
-    assert g0.shape == (256, 6) and u0.shape == (256, 3)
-    assert not np.allclose(np.asarray(g0), np.asarray(g1))
-    # Same call is reproducible.
-    g0b, u0b = bounce_noise(keys, 0)
-    np.testing.assert_array_equal(np.asarray(g0), np.asarray(g0b))
-    np.testing.assert_array_equal(np.asarray(u0), np.asarray(u0b))
-    # Uniforms are in [0,1).
-    u = np.asarray(u0)
-    assert (u >= 0).all() and (u < 1).all()
+    ctx = ray_keys(base, jnp.arange(4096), jnp.zeros(4096, jnp.int32))
+    u0 = np.asarray(bounce_noise(ctx, 0))
+    u1 = np.asarray(bounce_noise(ctx, 1))
+    assert u0.shape == (4096, 7)
+    assert not np.allclose(u0, u1)
+    assert (u0 >= 0).all() and (u0 < 1).all()
+    # Marginals look uniform: mean ~ 0.5, var ~ 1/12.
+    np.testing.assert_allclose(u0.mean(0), 0.5, atol=0.03)
+    np.testing.assert_allclose(u0.var(0), 1.0 / 12.0, atol=0.01)
+    # No correlation between bounces.
+    c = np.corrcoef(u0[:, 0], u1[:, 0])[0, 1]
+    assert abs(c) < 0.05
+
+
+def test_camera_jitter_shape_and_range():
+    ctx = ray_keys(jax.random.PRNGKey(9), jnp.arange(128), jnp.zeros(128, jnp.int32))
+    j = np.asarray(camera_jitter(ctx))
+    assert j.shape == (128, 4)
+    assert (j >= 0).all() and (j < 1).all()
+    # Camera slots must not collide with bounce slots 0..123.
+    u_last_bounce = np.asarray(bounce_noise(ctx, 30))
+    assert not np.allclose(j[:, :2], u_last_bounce[:, :2])
