@@ -17,6 +17,7 @@ from .scenes import (
     three_sphere_scene,
 )
 from .render import accumulate, init_state, render, render_pixels, trace_rays
+from .presets import PRESETS, Preset
 
 __version__ = "0.1.0"
 

@@ -1,0 +1,187 @@
+"""Command-line entry point.
+
+Reference counterpart: ``main() -> TracePaths()`` (Main.cpp:3-6) with all
+configuration as compile-time constants (include/Globals.hpp) and a GLFW
+window as the only progress display.  Here: argparse over named presets
+(presets.py), progressive rendering with periodic snapshots (the live-
+preview analog, SURVEY.md S5), resume from snapshot, and structured
+throughput metrics.
+
+Usage:
+    python -m simplepathtracer_tpu.cli render --preset cover -o cover.png
+    python -m simplepathtracer_tpu.cli render --preset simple --spp 64 \\
+        --snapshot-every 16 --snapshot out.npz --preview preview.png
+    python -m simplepathtracer_tpu.cli render --resume out.npz -o done.png
+    python -m simplepathtracer_tpu.cli invert --steps 60 -o recovered.png
+    python -m simplepathtracer_tpu.cli info
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import numpy as np
+
+from . import checkpoint, io, metrics
+from .presets import PRESETS
+from .render import accumulate, init_state
+from .types import RenderConfig
+
+
+def _apply_overrides(config: RenderConfig, args) -> RenderConfig:
+    kw = {}
+    for field in ("width", "height", "spp", "max_depth", "spp_chunk"):
+        v = getattr(args, field, None)
+        if v is not None:
+            kw[field] = v
+    if getattr(args, "no_pallas", False):
+        kw["use_pallas"] = False
+    return config.replace(**kw) if kw else config
+
+
+def cmd_render(args) -> int:
+    meter = metrics.Meter(enabled=not args.quiet)
+    key = jax.random.PRNGKey(args.seed)
+
+    if args.resume:
+        state, scene, config = checkpoint.load(args.resume)
+        config = _apply_overrides(config, args)
+        camera = PRESETS[args.preset].camera_fn()
+        done = int(state.sample_count)
+        meter.emit({"phase": "resume", "from": args.resume, "samples_done": done})
+    else:
+        preset = PRESETS[args.preset]
+        scene, camera, config = preset.build(jax.random.PRNGKey(args.scene_seed))
+        config = _apply_overrides(config, args)
+        state = init_state(config, key)
+        done = 0
+
+    total = config.spp
+    chunk = args.snapshot_every or (total - done)
+    with metrics.profiler_trace(args.trace):
+        while done < total:
+            n = min(chunk, total - done)
+            with meter.phase(
+                "render", paths=config.num_pixels * n, bounces=config.max_depth
+            ):
+                state = accumulate(state, scene, camera, config, n)
+                state.accum.block_until_ready()
+                np.asarray(state.sample_count)  # sync through the tunnel
+            done += n
+            if args.snapshot:
+                checkpoint.save(args.snapshot, state, scene, config)
+                meter.emit({"phase": "snapshot", "path": args.snapshot, "spp": done})
+            if args.preview:
+                io.save_image(args.preview, np.asarray(state.image(config.gamma)))
+
+    out = args.output or io.default_filename(config)
+    io.save_image(out, np.asarray(state.image(config.gamma)))
+    meter.emit({"phase": "done", "output": out, "spp": done})
+    return 0
+
+
+def cmd_invert(args) -> int:
+    import jax.numpy as jnp
+
+    from . import inverse
+    from .scenes import three_sphere_scene
+    from .types import make_camera
+
+    meter = metrics.Meter(enabled=not args.quiet)
+    camera = make_camera(origin=(0, 0, -1), lookat=(0, 0, 1), vfov_deg=60)
+    config = RenderConfig(width=args.width or 96, height=args.height or 48,
+                          spp=args.spp or 16, max_depth=6)
+    key = jax.random.PRNGKey(args.seed)
+
+    # Ground truth scene -> target image; perturbed scene -> recover.
+    # Soft-to-soft objective for geometry; ground sphere frozen (see
+    # inverse.fit docstring for why both matter).
+    softness = 0.05
+    truth = three_sphere_scene(hollow_glass=False)
+    target = inverse.render_linear(
+        truth, camera, config.replace(silhouette_softness=softness),
+        jax.random.fold_in(key, 999),
+    )
+    perturbed = truth.replace(
+        centers=truth.centers + jnp.asarray(
+            [[0.0, 0, 0], [0.1, 0.08, 0], [-0.08, 0.08, 0], [0.08, -0.04, 0]]
+        ),
+        albedo=jnp.clip(truth.albedo + 0.2, 0.05, 0.95),
+    )
+    mask = {"centers": jnp.zeros_like(truth.centers).at[1:].set(1.0)}
+
+    def cb(i, loss, params):
+        if i % 10 == 0:
+            meter.emit({"phase": "invert", "step": i, "loss": loss})
+
+    recovered, losses = inverse.fit(
+        perturbed, target, camera, config, key, steps=args.steps, lr=args.lr,
+        leaves=("centers", "albedo"), softness=softness, param_mask=mask,
+        callback=cb,
+    )
+    meter.emit({
+        "phase": "invert_done",
+        "loss_first": losses[0], "loss_last": losses[-1],
+        "center_err_before": float(jnp.abs(perturbed.centers - truth.centers).max()),
+        "center_err_after": float(jnp.abs(recovered.centers - truth.centers).max()),
+    })
+    if args.output:
+        img = inverse.render_linear(recovered, camera, config, key)
+        io.save_image(args.output, np.asarray(jnp.clip(img, 0, 1) ** 0.5))
+    return 0
+
+
+def cmd_info(args) -> int:
+    print(f"devices: {jax.devices()}")
+    print("presets:")
+    for p in PRESETS.values():
+        c = p.config
+        print(f"  {p.name:16s} {c.width}x{c.height} @{c.spp}spp depth={c.max_depth}  - {p.description}")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="simplepathtracer_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("render", help="render a preset scene")
+    r.add_argument("--preset", choices=sorted(PRESETS), default="cover")
+    r.add_argument("-o", "--output", default=None, help="output image (.png/.bmp)")
+    r.add_argument("--width", type=int)
+    r.add_argument("--height", type=int)
+    r.add_argument("--spp", type=int)
+    r.add_argument("--max-depth", dest="max_depth", type=int)
+    r.add_argument("--spp-chunk", dest="spp_chunk", type=int)
+    r.add_argument("--no-pallas", action="store_true", help="use the jnp reference path")
+    r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--scene-seed", type=int, default=0)
+    r.add_argument("--snapshot", default=None, help="snapshot file (.npz)")
+    r.add_argument("--snapshot-every", type=int, default=None, metavar="SPP")
+    r.add_argument("--preview", default=None, help="write partial image each chunk")
+    r.add_argument("--resume", default=None, help="resume from snapshot")
+    r.add_argument("--trace", default=None, help="jax.profiler trace dir")
+    r.add_argument("-q", "--quiet", action="store_true")
+    r.set_defaults(fn=cmd_render)
+
+    i = sub.add_parser("invert", help="inverse-rendering demo (BASELINE config 4)")
+    i.add_argument("--steps", type=int, default=60)
+    i.add_argument("--lr", type=float, default=2e-2)
+    i.add_argument("--width", type=int)
+    i.add_argument("--height", type=int)
+    i.add_argument("--spp", type=int)
+    i.add_argument("--seed", type=int, default=0)
+    i.add_argument("-o", "--output", default=None)
+    i.add_argument("-q", "--quiet", action="store_true")
+    i.set_defaults(fn=cmd_invert)
+
+    n = sub.add_parser("info", help="list devices and presets")
+    n.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,131 @@
+"""Inverse rendering: recover scene parameters from a target image.
+
+BASELINE.json configs[3]: "recover sphere positions/albedos from target
+image via pixel-loss gradients".  The reference has no analog (it is not
+differentiable); this module is the capability the TPU build adds on top —
+the whole render is a pure function of the Scene pytree, so
+``jax.value_and_grad`` of a pixel loss w.r.t. scene leaves flows through the
+bounce scan (rematerialized per bounce via jax.checkpoint), the
+reparameterized hit point, and the throughput products (SURVEY.md S7
+stages 4).
+
+Discrete structure (hit selection, material switch, Schlick coin flips) is
+treated as locally constant — standard score-free reparameterization; see
+ops/intersect.py and ops/materials.py for the detach points.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .render import render_sample_batch
+from .types import Camera, RenderConfig, Scene
+
+# Leaves that receive gradients (same set as parallel/sharding.py).
+DIFF_LEAVES = ("centers", "radii", "albedo", "fuzz", "ior", "sky_lo", "sky_hi")
+
+
+def split_params(scene: Scene, leaves=DIFF_LEAVES):
+    params = {k: getattr(scene, k) for k in leaves}
+    return params, scene
+
+
+def merge_params(params, scene: Scene) -> Scene:
+    return scene.replace(**params)
+
+
+def render_linear(scene, camera, config, key):
+    """Sample-mean *linear* radiance image [H, W, 3] (pre-gamma) — the
+    quantity losses are defined on."""
+    acc = render_sample_batch(scene, camera, config, key, 0, config.spp)
+    return (acc / config.spp).reshape(config.height, config.width, 3)
+
+
+def pixel_loss(params, static_scene, target, camera, config, key, leaves=DIFF_LEAVES):
+    """Mean squared error in linear radiance."""
+    scene = merge_params(params, static_scene)
+    img = render_linear(scene, camera, config, key)
+    return jnp.mean((img - target) ** 2)
+
+
+class InverseState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def make_optimizer(lr: float = 1e-2):
+    return optax.adam(lr)
+
+
+def init(scene: Scene, lr: float = 1e-2, leaves=DIFF_LEAVES) -> InverseState:
+    params, _ = split_params(scene, leaves)
+    opt = make_optimizer(lr)
+    return InverseState(params=params, opt_state=opt.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def fit(
+    scene_init: Scene,
+    target,
+    camera: Camera,
+    config: RenderConfig,
+    key,
+    steps: int = 100,
+    lr: float = 1e-2,
+    leaves=DIFF_LEAVES,
+    callback=None,
+    softness: float = 0.02,
+    param_mask=None,
+):
+    """Adam-optimize the scene's differentiable leaves against a target.
+
+    Each step uses a fresh base key so gradient noise is decorrelated across
+    steps (stochastic gradient over path samples).  ``softness`` enables the
+    first-bounce soft-silhouette blend (render.py) so geometry parameters
+    receive visibility gradients; for geometry fits, render the target with
+    the same softness (soft-to-soft) and anneal toward 0 — a hard target
+    against a soft render biases the objective at every silhouette.
+
+    ``param_mask``: optional dict {leaf: 0/1 array} freezing entries (e.g.
+    freeze the ground sphere while recovering object positions).  Frozen
+    entries matter because Adam's RMS normalization turns Monte-Carlo
+    gradient noise on otherwise-converged parameters into O(lr) random
+    walks.  Returns (scene, losses list).
+    """
+    opt = make_optimizer(lr)
+    params, static_scene = split_params(scene_init, leaves)
+    opt_state = opt.init(params)
+    if softness and any(k in leaves for k in ("centers", "radii")):
+        config = config.replace(silhouette_softness=float(softness))
+
+    @jax.jit
+    def step_fn(params, opt_state, step_key):
+        loss, grads = jax.value_and_grad(pixel_loss)(
+            params, static_scene, target, camera, config, step_key, leaves
+        )
+        if param_mask is not None:
+            grads = {
+                k: g * param_mask[k] if k in param_mask else g
+                for k, g in grads.items()
+            }
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if param_mask is not None:
+            params = {
+                k: jnp.where(param_mask[k] > 0, p, getattr(scene_init, k))
+                if k in param_mask else p
+                for k, p in params.items()
+            }
+        return params, opt_state, loss
+
+    losses = []
+    for i in range(steps):
+        params, opt_state, loss = step_fn(params, opt_state, jax.random.fold_in(key, i))
+        losses.append(float(loss))
+        if callback is not None:
+            callback(i, losses[-1], params)
+    return merge_params(params, static_scene), losses

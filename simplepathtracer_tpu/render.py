@@ -143,7 +143,34 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
     )
     # Rays still alive after the bounce budget return black (Shirley), like
     # the wavefront tracer's dropped 10th-pass rays (TaskBasedPathTracer.hpp:81).
+    if config.silhouette_softness > 0.0:
+        rad = _soft_silhouette_blend(origins, dirs, rad, scene, config)
     return rad
+
+
+def _soft_silhouette_blend(origins, dirs, rad, scene: Scene, config: RenderConfig):
+    """Soft-rasterizer-style visibility gradient at primary silhouettes.
+
+    The detached argmin drops d(loss)/d(geometry) terms at visibility
+    boundaries, so pure interior gradients cannot recover sphere positions
+    (SURVEY.md S7 hard part 1).  This blends the traced radiance with the
+    sky along the *first-bounce* silhouette using a sigmoid in the
+    scale-free discriminant margin disc / r^2: w -> 1 in the sphere
+    interior, w -> 1/2 at the exact edge, giving a one-sided smooth
+    d w / d center.  Enabled only during inverse rendering
+    (config.silhouette_softness > 0); forward renders keep hard edges.
+    """
+    from .ops.intersect import intersect_scene
+
+    hit = intersect_scene(origins, dirs, scene, config.t_min, config.t_max)
+    c = scene.centers[hit.index]
+    r = scene.radii[hit.index]
+    oc = c - origins
+    tc = jnp.sum(oc * dirs, -1)
+    disc = r * r - (jnp.sum(oc * oc, -1) - tc * tc)
+    w = jax.nn.sigmoid(disc / (config.silhouette_softness * r * r + 1e-12))
+    w = jnp.where(hit.hit, w, 1.0)[:, None]
+    return w * rad + (1.0 - w) * sky_color(dirs, scene.sky_lo, scene.sky_hi)
 
 
 def render_pixels(

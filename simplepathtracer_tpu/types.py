@@ -147,6 +147,10 @@ class RenderConfig:
     spp_chunk: int = 0           # 0 => all spp in one pass; else scan over chunks
     use_pallas: bool = False     # use the Pallas fused intersect kernel
     pallas_interpret: bool = False  # run the kernel interpreted (CPU tests)
+    # Soft-silhouette blend width for the first bounce (0 = hard edges).
+    # Used by inverse rendering to recover geometry gradients at visibility
+    # boundaries, which the detached hit selection otherwise drops.
+    silhouette_softness: float = 0.0
     rng_impl: str = "threefry2x32"  # jax PRNG implementation
 
     @property

@@ -1,0 +1,119 @@
+"""Inverse rendering (BASELINE config 4): gradients recover scene params."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import simplepathtracer_tpu as spt
+from simplepathtracer_tpu import inverse
+
+
+def _setup():
+    cam = spt.make_camera(origin=(0, 0, -1), lookat=(0, 0, 1), vfov_deg=60)
+    cfg = spt.RenderConfig(width=48, height=24, spp=8, max_depth=4)
+    key = jax.random.PRNGKey(0)
+    truth = spt.three_sphere_scene(hollow_glass=False)
+    target = inverse.render_linear(truth, cam, cfg, jax.random.fold_in(key, 999))
+    return truth, target, cam, cfg, key
+
+
+def test_gradients_finite_and_nonzero():
+    truth, target, cam, cfg, key = _setup()
+    perturbed = truth.replace(albedo=jnp.clip(truth.albedo + 0.2, 0, 1))
+    params, static_scene = inverse.split_params(perturbed)
+    loss, grads = jax.value_and_grad(inverse.pixel_loss)(
+        params, static_scene, target, cam, cfg, key
+    )
+    assert np.isfinite(float(loss))
+    for k, g in grads.items():
+        assert np.isfinite(np.asarray(g)).all(), f"non-finite grad for {k}"
+    assert np.abs(np.asarray(grads["albedo"])).max() > 0
+
+
+def test_fit_recovers_albedo():
+    truth, target, cam, cfg, key = _setup()
+    perturbed = truth.replace(albedo=jnp.clip(truth.albedo + 0.25, 0.05, 0.95))
+    recovered, losses = inverse.fit(
+        perturbed, target, cam, cfg, key, steps=25, lr=5e-2,
+        leaves=("albedo",),
+    )
+    assert losses[-1] < losses[0] * 0.5, losses[::6]
+    err_before = float(jnp.abs(perturbed.albedo - truth.albedo).mean())
+    err_after = float(jnp.abs(recovered.albedo - truth.albedo).mean())
+    assert err_after < err_before * 0.6, (err_before, err_after)
+
+
+def test_finite_difference_albedo_gradient():
+    """FD check of d loss / d albedo (SURVEY.md S4 item 3).
+
+    Albedo enters the loss continuously (throughput products), so FD and
+    autodiff must agree tightly.  Geometry parameters (centers/radii) carry
+    silhouette/visibility terms that the reparameterized gradient
+    intentionally omits (hit selection is locally constant), so those are
+    checked for descent direction only, below.
+    """
+    truth, target, cam, cfg, key = _setup()
+    base = truth.replace(albedo=jnp.clip(truth.albedo + 0.1, 0, 1))
+    params, static_scene = inverse.split_params(base, leaves=("albedo",))
+
+    def f(a):
+        return inverse.pixel_loss(
+            {"albedo": a}, static_scene, target, cam, cfg, key, ("albedo",)
+        )
+
+    g = jax.grad(f)(params["albedo"])
+    eps = 1e-3
+    for i, ch in [(1, 0), (2, 2)]:
+        da = jnp.zeros_like(params["albedo"]).at[i, ch].set(eps)
+        fd = (f(params["albedo"] + da) - f(params["albedo"] - da)) / (2 * eps)
+        np.testing.assert_allclose(float(g[i, ch]), float(fd), rtol=5e-2, atol=1e-6)
+
+
+def test_soft_silhouette_center_gradient_descends():
+    """With the first-bounce soft-silhouette blend, center gradients carry
+    visibility terms and following them reduces the loss (pure interior
+    gradients cannot do this — the silhouette term dominates position
+    recovery and is dropped by the detached argmin)."""
+    truth, target, cam, cfg, key = _setup()
+    cfg_soft = cfg.replace(silhouette_softness=0.05)
+    base = truth.replace(centers=truth.centers.at[1, 1].add(0.08))
+    params, static_scene = inverse.split_params(base, leaves=("centers",))
+
+    def f(c):
+        return inverse.pixel_loss(
+            {"centers": c}, static_scene, target, cam, cfg_soft, key, ("centers",)
+        )
+
+    g = jax.grad(f)(params["centers"])
+    # The perturbed sphere's y gradient must point back toward the truth
+    # (loss increases with +y, so d loss / d y > 0).
+    assert float(g[1, 1]) > 0, np.asarray(g)
+    l0 = float(f(params["centers"]))
+    l1 = float(f(params["centers"] - 0.02 * g / (jnp.abs(g).max() + 1e-9)))
+    assert l1 < l0, (l0, l1)
+
+
+def test_fit_recovers_center_offset():
+    """BASELINE config 4: recover a sphere position from the image.
+
+    Soft-to-soft objective (target rendered with the same silhouette
+    softness) and the ground sphere frozen via param_mask — without the
+    mask, Adam's RMS normalization random-walks the huge ground sphere on
+    Monte-Carlo gradient noise and wrecks the scene.
+    """
+    truth, _, cam, cfg, key = _setup()
+    cfg_soft = cfg.replace(silhouette_softness=0.05)
+    target = inverse.render_linear(truth, cam, cfg_soft, jax.random.fold_in(key, 999))
+    perturbed = truth.replace(centers=truth.centers.at[1, 1].add(0.1))
+    mask = {"centers": jnp.zeros_like(truth.centers).at[1:].set(1.0)}
+    recovered, losses = inverse.fit(
+        perturbed, target, cam, cfg, key, steps=40, lr=1e-2,
+        leaves=("centers",), softness=0.05, param_mask=mask,
+    )
+    err_before = float(jnp.abs(perturbed.centers[1] - truth.centers[1]).max())
+    err_after = float(jnp.abs(recovered.centers[1] - truth.centers[1]).max())
+    assert err_after < err_before * 0.5, (err_before, err_after)
+    # The frozen ground sphere must not have moved at all.
+    np.testing.assert_array_equal(
+        np.asarray(recovered.centers[0]), np.asarray(truth.centers[0])
+    )
