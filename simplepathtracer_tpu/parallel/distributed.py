@@ -1,0 +1,77 @@
+"""Multi-host orchestration: jax.distributed init + host-spanning meshes.
+
+Reference counterpart: none — the reference is a single process whose only
+"collective layer" is a shared framebuffer + condition variable
+(include/Renderer.hpp:276-292; SURVEY.md S2 "Communication backend").  The
+TPU-native equivalent is ``jax.distributed.initialize`` + a mesh laid out so
+the per-step sample-axis psum rides ICI within a slice while tile shards
+span hosts (DCN only at the final image gather).
+
+On a pod slice every host runs this same program; ``initialize()`` wires the
+processes together and ``jax.devices()`` becomes the global device list.
+The render/train code in sharding.py is already multi-host-safe: inputs are
+replicated (tiny), outputs are sharded by tiles, and all randomness is
+keyed by global (pixel, sample) ids so host count cannot change the image.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh
+
+from .sharding import make_mesh
+
+
+def initialize_cluster(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Initialize jax.distributed for a multi-host job.
+
+    With no arguments, relies on the environment (TPU pod metadata or
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID) — the
+    standard pattern for TPU pod slices where every host runs the same
+    binary.  Safe to call on single-host jobs (no-op if already initialized
+    or if only one process exists).
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        # Single-process run without coordinator env: fine, stay local.
+        pass
+
+
+def make_multihost_mesh(samples_per_host: int = 1) -> Mesh:
+    """('tiles', 'samples') mesh over every chip in the job.
+
+    Sample shards are placed on chips of the same host (fast ICI for the
+    per-step psum); tile shards span hosts (no per-step cross-host
+    traffic — tiles are disjoint pixels, combined only at readback).
+    """
+    n = len(jax.devices())
+    assert n % samples_per_host == 0
+    return make_mesh(tiles=n // samples_per_host, samples=samples_per_host)
+
+
+def local_tile_slice(mesh: Mesh, num_pixels: int):
+    """(start, size) of the pixel range owned by this process's tile shards
+    — what this host should write when saving a sharded render to disk."""
+    nt = mesh.shape["tiles"]
+    p_local = num_pixels // nt
+    # Derive from the local devices' mesh coordinates.
+    coords = []
+    local = set(jax.local_devices())
+    devs = mesh.devices
+    for ti in range(devs.shape[0]):
+        if any(d in local for d in devs[ti]):
+            coords.append(ti)
+    start = min(coords) * p_local
+    size = (max(coords) - min(coords) + 1) * p_local
+    return start, size
