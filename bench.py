@@ -58,22 +58,25 @@ def main():
     key = jax.random.PRNGKey(0)
 
     # Warmup / compile (accumulate is jit-cached per (config, n_samples)).
+    # Synchronize on a tiny slice: full-image device->host fetches crawl at
+    # ~1 MB/s through the remote-TPU tunnel and would dominate the timing.
+    def sync(st):
+        return np.asarray(st.accum[:1, :1])
+
     state = init_state(config, key)
     t0 = time.time()
-    state = accumulate(state, scene, camera, config, WARMUP_SPP)
-    np.asarray(state.accum)
+    state = accumulate(state, scene, camera, config, BENCH_SPP)
+    sync(state)
     compile_s = time.time() - t0
 
-    # Steady state: block via host fetch (async dispatch otherwise).
-    t0 = time.time()
-    state = accumulate(state, scene, camera, config, WARMUP_SPP)
-    np.asarray(state.accum)
-    warm_dt = time.time() - t0
-
-    t0 = time.time()
-    state = accumulate(state, scene, camera, config, BENCH_SPP)
-    np.asarray(state.accum)
-    dt = time.time() - t0
+    # Steady state: best of two identical (cache-hit) calls.
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        state = accumulate(state, scene, camera, config, BENCH_SPP)
+        sync(state)
+        dt = min(dt, time.time() - t0)
+    warm_dt = dt
 
     paths = WIDTH * HEIGHT * BENCH_SPP
     tpu_pps = paths / dt
