@@ -52,7 +52,7 @@ def main():
         aperture=0.1, focus_dist=10.0,
     )
     config = spt.RenderConfig(
-        width=WIDTH, height=HEIGHT, spp=BENCH_SPP, max_depth=DEPTH, spp_chunk=1,
+        width=WIDTH, height=HEIGHT, spp=BENCH_SPP, max_depth=DEPTH, spp_chunk=0,
         use_pallas=True,
     )
     key = jax.random.PRNGKey(0)
@@ -80,6 +80,20 @@ def main():
 
     paths = WIDTH * HEIGHT * BENCH_SPP
     tpu_pps = paths / dt
+
+    # Russian-roulette variant (unbiased early termination; not in the C++
+    # baseline, so reported as detail — the headline stays algorithm-equal).
+    config_rr = config.replace(rr_start_depth=2)
+    state = init_state(config_rr, key)
+    state = accumulate(state, scene, camera, config_rr, BENCH_SPP)
+    sync(state)
+    rr_dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        state = accumulate(state, scene, camera, config_rr, BENCH_SPP)
+        sync(state)
+        rr_dt = min(rr_dt, time.time() - t0)
+
     base = cpu_baseline_paths_per_sec()
 
     result = {
@@ -91,10 +105,10 @@ def main():
             "config": f"{WIDTH}x{HEIGHT}@{BENCH_SPP}spp depth={DEPTH} spheres=512",
             "device": str(jax.devices()[0]),
             "elapsed_s": round(dt, 3),
-            "warm4spp_s": round(warm_dt, 3),
             "compile_plus_first_s": round(compile_s, 1),
             "cpu_baseline_paths_per_sec": base["paths_per_sec"],
             "use_pallas": config.use_pallas,
+            "russian_roulette_paths_per_sec": round(paths / rr_dt, 1),
         },
     }
     print(json.dumps(result))

@@ -1,0 +1,405 @@
+"""Persistent wavefront kernel: whole-render megakernel with in-lane ray
+regeneration.
+
+The bounce-per-launch megakernel (pallas_bounce.py) wastes VPU work on dead
+lanes: lanes die independently (sky hit after ~2-3 bounces on open scenes)
+but a 1024-ray block only skips its sphere scan when ALL lanes are dead,
+which almost never happens before the depth budget.  Compaction on TPU
+means cross-lane data movement — expensive and awkward.
+
+The TPU-native answer is the classic persistent-threads design with a
+twist that eliminates ALL data movement: **each lane owns one pixel**.
+When a lane's path terminates (sky / absorption / depth), it banks the
+radiance into an in-register accumulator and immediately regenerates the
+camera ray for the SAME pixel's next sample — same lane, no shuffling.
+A `lax.while_loop` runs until every lane has exhausted its sample budget;
+with many samples per pixel, lane utilization approaches 100% regardless
+of path-length variance (law of large numbers over samples).
+
+One pallas_call renders an entire (pixel block x n_samples) tile:
+  * ray state never leaves VMEM/registers — HBM traffic is pixel ids in,
+    accumulated radiance out (~16 B/pixel TOTAL, not per bounce);
+  * camera ray generation (pinhole + thin lens) runs in-kernel from ~20
+    SMEM scalars;
+  * RNG is the same counter-based threefry as everywhere (counters are
+    per-lane (pixel, sample<<8|slot), so per-lane divergent sample/bounce
+    indices are free) — the image is bit-compatible with the jnp path
+    modulo fp reassociation;
+  * expected sphere-scan count per lane is samples x (mean path length+1)
+    instead of samples x max_depth — a ~2.5-3x work reduction at depth 10
+    on open scenes.
+
+Reference counterpart: this fuses the ENTIRE per-tile render loop
+(include/SingleThreadPathTracer.hpp:114-137 — pixel/sample/bounce loops,
+camera, RNG, shading) into one kernel; the regeneration trick is the TPU
+form of the wavefront tracer's queue refill (TaskBasedPathTracer.hpp:61-79).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..types import Material
+from .pallas_bounce import _threefry2x32, _unit
+
+_SUB = 8
+_LANE = 128
+_BLOCK = _SUB * _LANE
+
+
+def _persistent_kernel(
+    # SMEM scene tables
+    cx_ref, cy_ref, cz_ref, rad_ref, r2_ref,
+    albr_ref, albg_ref, albb_ref, mat_ref, fuzz_ref, ior_ref,
+    sky_ref,   # f32[6]
+    cam_ref,   # f32[19]: origin 0:3, lower_left 3:6, horizontal 6:9,
+               #          vertical 9:12, u 12:15, v 15:18, lens_radius 18
+    meta_ref,  # u32[3]: k0, k1, sample_offset
+    # VMEM
+    pix_ref,   # (8,128) u32 — global pixel id (garbage on padding lanes)
+    xf_ref,    # (8,128) f32 — pixel x coordinate (pix % width)
+    yf_ref,    # (8,128) f32 — pixel y coordinate (pix // width)
+    valid_ref, # (8,128) f32 — 1 for real pixels, 0 for padding
+    # outputs
+    out_r, out_g, out_b,
+    *, n_spheres: int, n_samples: int, max_depth: int,
+    width: int, height: int, t_min: float, t_max: float,
+    rr_start_depth: int = 0,
+):
+    f32 = jnp.float32
+    shape = (_SUB, _LANE)
+    k0, k1, samp_off = meta_ref[0], meta_ref[1], meta_ref[2]
+    pix = pix_ref[:]
+    valid = valid_ref[:] > 0.0
+
+    def uniforms(c1):
+        w0, w1 = _threefry2x32(k0, k1, pix, c1)
+        return _unit(w0), _unit(w1)
+
+    nsamp_u = jnp.uint32(n_samples)
+
+    def cond(carry):
+        s = carry[0]
+        return jnp.any(s < nsamp_u)
+
+    def body(carry):
+        (s, b, alive_f, ox, oy, oz, dx, dy, dz, tr, tg, tb, ar_, ag_, ab_) = carry
+        alive = alive_f > 0.0
+
+        # ---- regenerate camera rays on exhausted lanes ------------------
+        regen = (~alive) & (s < nsamp_u)
+        sample_id = samp_off + s
+        c1b = sample_id << jnp.uint32(8)
+        jx, jy = uniforms(c1b | jnp.uint32(124))
+        lu, lv = uniforms(c1b | jnp.uint32(125))
+        s01 = (xf_ref[:] + jx) * np.float32(1.0 / width)
+        t01 = 1.0 - (yf_ref[:] + jy) * np.float32(1.0 / height)
+        lr = jnp.sqrt(lu) * cam_ref[18]
+        th = np.float32(2.0 * np.pi) * lv
+        ou = lr * jnp.cos(th)
+        ov = lr * jnp.sin(th)
+        nox = cam_ref[0] + ou * cam_ref[12] + ov * cam_ref[15]
+        noy = cam_ref[1] + ou * cam_ref[13] + ov * cam_ref[16]
+        noz = cam_ref[2] + ou * cam_ref[14] + ov * cam_ref[17]
+        ndx = cam_ref[3] + s01 * cam_ref[6] + t01 * cam_ref[9] - nox
+        ndy = cam_ref[4] + s01 * cam_ref[7] + t01 * cam_ref[10] - noy
+        ndz = cam_ref[5] + s01 * cam_ref[8] + t01 * cam_ref[11] - noz
+        ninv = jax.lax.rsqrt(ndx * ndx + ndy * ndy + ndz * ndz + 1e-20)
+        ox = jnp.where(regen, nox, ox)
+        oy = jnp.where(regen, noy, oy)
+        oz = jnp.where(regen, noz, oz)
+        dx = jnp.where(regen, ndx * ninv, dx)
+        dy = jnp.where(regen, ndy * ninv, dy)
+        dz = jnp.where(regen, ndz * ninv, dz)
+        tr = jnp.where(regen, 1.0, tr)
+        tg = jnp.where(regen, 1.0, tg)
+        tb = jnp.where(regen, 1.0, tb)
+        b = jnp.where(regen, jnp.uint32(0), b)
+        alive = alive | regen
+
+        # ---- closest hit: unrolled sphere scan with attr tracking -------
+        init = (
+            jnp.full(shape, t_max, f32), jnp.full(shape, -1, jnp.int32),
+            jnp.zeros(shape, f32), jnp.zeros(shape, f32), jnp.zeros(shape, f32),
+            jnp.ones(shape, f32), jnp.zeros(shape, f32), jnp.zeros(shape, f32),
+            jnp.zeros(shape, f32), jnp.zeros(shape, jnp.int32),
+            jnp.zeros(shape, f32), jnp.ones(shape, f32),
+        )
+
+        def one_sphere(sp, c):
+            (bt, bi, bcx, bcy, bcz, br, bar, bag, bab, bm, bf, bio) = c
+            scx, scy, scz, sr2 = cx_ref[sp], cy_ref[sp], cz_ref[sp], r2_ref[sp]
+            ocx = scx - ox
+            ocy = scy - oy
+            ocz = scz - oz
+            tc = ocx * dx + ocy * dy + ocz * dz
+            oc2 = ocx * ocx + ocy * ocy + ocz * ocz
+            disc = sr2 - (oc2 - tc * tc)
+            sq = jnp.sqrt(disc)  # NaN when disc<0 -> fails compares below
+            t_near = tc - sq
+            t = jnp.where(t_near > t_min, t_near, tc + sq)
+            ok = (t > t_min) & (t < bt)
+            bt = jnp.where(ok, t, bt)
+            bi = jnp.where(ok, sp, bi)
+            bcx = jnp.where(ok, scx, bcx)
+            bcy = jnp.where(ok, scy, bcy)
+            bcz = jnp.where(ok, scz, bcz)
+            br = jnp.where(ok, rad_ref[sp], br)
+            bar = jnp.where(ok, albr_ref[sp], bar)
+            bag = jnp.where(ok, albg_ref[sp], bag)
+            bab = jnp.where(ok, albb_ref[sp], bab)
+            bm = jnp.where(ok, mat_ref[sp], bm)
+            bf = jnp.where(ok, fuzz_ref[sp], bf)
+            bio = jnp.where(ok, ior_ref[sp], bio)
+            return (bt, bi, bcx, bcy, bcz, br, bar, bag, bab, bm, bf, bio)
+
+        unroll = next((u for u in (4, 2, 1) if n_spheres % u == 0), 1)
+
+        def scan_body(i, c):
+            for u in range(unroll):
+                c = one_sphere(i * unroll + u, c)
+            return c
+
+        (t, bi, cx, cy, cz, r, ar, ag, ab, mat, fz, io) = jax.lax.fori_loop(
+            0, n_spheres // unroll, scan_body, init
+        )
+        hit = bi >= 0
+
+        px = ox + t * dx
+        py = oy + t * dy
+        pz = oz + t * dz
+        nx = (px - cx) / r
+        ny = (py - cy) / r
+        nz = (pz - cz) / r
+        inv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-20)
+        nx, ny, nz = nx * inv, ny * inv, nz * inv
+
+        # ---- bounce noise (7 uniforms, slot map of ops/sampling.py) -----
+        slot0 = b * jnp.uint32(4)
+        u0, u1 = uniforms(c1b | (slot0 + jnp.uint32(0)))
+        u2, u3 = uniforms(c1b | (slot0 + jnp.uint32(1)))
+        u4, u5 = uniforms(c1b | (slot0 + jnp.uint32(2)))
+
+        # ---- sky miss shader --------------------------------------------
+        s01y = 0.5 * (dy + 1.0)
+        miss_f = jnp.where(alive & ~hit, 1.0, 0.0)
+        ar_ = ar_ + tr * (sky_ref[0] + (sky_ref[3] - sky_ref[0]) * s01y) * miss_f
+        ag_ = ag_ + tg * (sky_ref[1] + (sky_ref[4] - sky_ref[1]) * s01y) * miss_f
+        ab_ = ab_ + tb * (sky_ref[2] + (sky_ref[5] - sky_ref[2]) * s01y) * miss_f
+
+        # ---- scatter -----------------------------------------------------
+        d_dot_n = dx * nx + dy * ny + dz * nz
+        front = d_dot_n < 0.0
+        fsign = jnp.where(front, 1.0, -1.0)
+        nfx, nfy, nfz = nx * fsign, ny * fsign, nz * fsign
+        cos_t = jnp.minimum(-(dx * nfx + dy * nfy + dz * nfz), 1.0)
+
+        zl = 1.0 - 2.0 * u0
+        rl = jnp.sqrt(jnp.maximum(1.0 - zl * zl, 0.0))
+        phl = np.float32(2.0 * np.pi) * u1
+        lx = nfx + rl * jnp.cos(phl)
+        ly = nfy + rl * jnp.sin(phl)
+        lz = nfz + zl
+        ln2 = lx * lx + ly * ly + lz * lz
+        linv = jax.lax.rsqrt(jnp.maximum(ln2, 1e-20))
+        ldeg = ln2 <= 1e-12
+        lamx = jnp.where(ldeg, nfx, lx * linv)
+        lamy = jnp.where(ldeg, nfy, ly * linv)
+        lamz = jnp.where(ldeg, nfz, lz * linv)
+
+        two_dn = 2.0 * (dx * nfx + dy * nfy + dz * nfz)
+        rfx = dx - two_dn * nfx
+        rfy = dy - two_dn * nfy
+        rfz = dz - two_dn * nfz
+        zm = 1.0 - 2.0 * u2
+        rm = jnp.sqrt(jnp.maximum(1.0 - zm * zm, 0.0))
+        phm = np.float32(2.0 * np.pi) * u3
+        bscale = jnp.exp(jnp.log(jnp.maximum(u4, 1e-30)) * np.float32(1.0 / 3.0)) * fz
+        mx = rfx + bscale * rm * jnp.cos(phm)
+        my = rfy + bscale * rm * jnp.sin(phm)
+        mz = rfz + bscale * zm
+        mn2 = mx * mx + my * my + mz * mz
+        minv = jax.lax.rsqrt(jnp.maximum(mn2, 1e-20))
+        mdeg = mn2 <= 1e-12
+        metx = jnp.where(mdeg, nfx, mx * minv)
+        mety = jnp.where(mdeg, nfy, my * minv)
+        metz = jnp.where(mdeg, nfz, mz * minv)
+        metal_ok = metx * nfx + mety * nfy + metz * nfz > 0.0
+
+        eta = jnp.where(front, 1.0 / io, io)
+        sin2 = jnp.maximum(1.0 - cos_t * cos_t, 0.0)
+        cannot = eta * eta * sin2 > 1.0
+        r0s = (1.0 - eta) / (1.0 + eta)
+        r0 = r0s * r0s
+        omc = 1.0 - cos_t
+        omc2 = omc * omc
+        refl_p = r0 + (1.0 - r0) * omc2 * omc2 * omc
+        do_refl = cannot | (u5 < refl_p)
+        ppx = eta * (dx + cos_t * nfx)
+        ppy = eta * (dy + cos_t * nfy)
+        ppz = eta * (dz + cos_t * nfz)
+        par = jnp.sqrt(jnp.maximum(1.0 - (ppx * ppx + ppy * ppy + ppz * ppz), 1e-12))
+        gx = jnp.where(do_refl, rfx, ppx - par * nfx)
+        gy = jnp.where(do_refl, rfy, ppy - par * nfy)
+        gz = jnp.where(do_refl, rfz, ppz - par * nfz)
+        gn2 = gx * gx + gy * gy + gz * gz
+        ginv = jax.lax.rsqrt(jnp.maximum(gn2, 1e-20))
+        gdeg = gn2 <= 1e-12
+        diex = jnp.where(gdeg, nfx, gx * ginv)
+        diey = jnp.where(gdeg, nfy, gy * ginv)
+        diez = jnp.where(gdeg, nfz, gz * ginv)
+
+        is_metal = mat == int(Material.METAL)
+        is_diel = mat == int(Material.DIELECTRIC)
+        sdx = jnp.where(is_metal, metx, lamx)
+        sdy = jnp.where(is_metal, mety, lamy)
+        sdz = jnp.where(is_metal, metz, lamz)
+        sdx = jnp.where(is_diel, diex, sdx)
+        sdy = jnp.where(is_diel, diey, sdy)
+        sdz = jnp.where(is_diel, diez, sdz)
+        atr = jnp.where(is_diel, 1.0, ar)
+        atg = jnp.where(is_diel, 1.0, ag)
+        atb = jnp.where(is_diel, 1.0, ab)
+        scattered = metal_ok | ~is_metal
+
+        # ---- state update + sample advance -------------------------------
+        b_next = b + jnp.uint32(1)
+        surv = alive & hit & scattered & (b_next < jnp.uint32(max_depth))
+        lf = jnp.where(alive & hit, 1.0, 0.0)
+        tr = tr * jnp.where(surv, atr, 1.0)
+        tg = tg * jnp.where(surv, atg, 1.0)
+        tb = tb * jnp.where(surv, atb, 1.0)
+        if rr_start_depth:
+            # Russian roulette (matches the jnp bounce: same u6 column).
+            q = jnp.clip(jnp.maximum(jnp.maximum(tr, tg), tb), 0.05, 1.0)
+            u6, _ = uniforms(c1b | (slot0 + jnp.uint32(3)))
+            do_rr = b >= jnp.uint32(rr_start_depth)
+            surv = surv & ~(do_rr & (u6 >= q))
+            boost = jnp.where(do_rr & surv, 1.0 / q, 1.0)
+            tr = tr * boost
+            tg = tg * boost
+            tb = tb * boost
+        terminated = alive & ~surv
+        sf = jnp.where(surv, 1.0, 0.0)
+        ox = ox + (px - ox) * lf
+        oy = oy + (py - oy) * lf
+        oz = oz + (pz - oz) * lf
+        dx = dx + (sdx - dx) * sf
+        dy = dy + (sdy - dy) * sf
+        dz = dz + (sdz - dz) * sf
+        b = jnp.where(surv, b_next, b)
+        s = jnp.where(terminated, s + jnp.uint32(1), s)
+        alive_f = sf
+        return (s, b, alive_f, ox, oy, oz, dx, dy, dz, tr, tg, tb, ar_, ag_, ab_)
+
+    z = jnp.zeros(shape, f32)
+    # Padding lanes start with their sample budget exhausted.
+    s0 = jnp.where(valid, jnp.uint32(0), nsamp_u)
+    carry = (
+        s0, jnp.zeros(shape, jnp.uint32), z,
+        z, z, z, z, z, jnp.ones(shape, f32),
+        jnp.ones(shape, f32), jnp.ones(shape, f32), jnp.ones(shape, f32),
+        z, z, z,
+    )
+    out = jax.lax.while_loop(cond, body, carry)
+    out_r[:] = out[12]
+    out_g[:] = out[13]
+    out_b[:] = out[14]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_samples", "max_depth", "width", "height", "t_min", "t_max",
+        "rr_start_depth", "interpret",
+    ),
+)
+def render_block_persistent(
+    pixel_ids, scene_tables, sky6, cam19, meta3,
+    n_samples, max_depth, width, height,
+    t_min=1e-3, t_max=3.0e7, rr_start_depth=0, interpret=False,
+):
+    """Radiance SUM over n_samples for each pixel id. Returns [P, 3] f32.
+
+    pixel_ids: [P] int/uint — global pixel ids (row-major, y*width+x).
+    scene_tables: 11 [S] arrays (see pallas_bounce.bounce_step_pallas).
+    cam19: f32[19] camera constants (see _persistent_kernel).
+    meta3: u32[3] (k0, k1, sample_offset).
+    """
+    p = pixel_ids.shape[0]
+    p_pad = -(-p // _BLOCK) * _BLOCK
+    pad = p_pad - p
+    pix = jnp.asarray(pixel_ids).astype(jnp.uint32)
+    xf = (pix % jnp.uint32(width)).astype(jnp.float32)
+    yf = (pix // jnp.uint32(width)).astype(jnp.float32)
+    val = jnp.ones((p,), jnp.float32)
+    if pad:
+        pix = jnp.concatenate([pix, jnp.zeros((pad,), jnp.uint32)])
+        xf = jnp.concatenate([xf, jnp.zeros((pad,), jnp.float32)])
+        yf = jnp.concatenate([yf, jnp.zeros((pad,), jnp.float32)])
+        val = jnp.concatenate([val, jnp.zeros((pad,), jnp.float32)])
+    rows = p_pad // _LANE
+    pix = pix.reshape(rows, _LANE)
+    xf = xf.reshape(rows, _LANE)
+    yf = yf.reshape(rows, _LANE)
+    val = val.reshape(rows, _LANE)
+
+    s = scene_tables[0].shape[0]
+    kernel = functools.partial(
+        _persistent_kernel,
+        n_spheres=s, n_samples=int(n_samples), max_depth=int(max_depth),
+        width=int(width), height=int(height),
+        t_min=float(t_min), t_max=float(t_max),
+        rr_start_depth=int(rr_start_depth),
+    )
+    blk = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_r, out_g, out_b = pl.pallas_call(
+        kernel,
+        grid=(rows // _SUB,),
+        in_specs=[smem] * 14 + [blk, blk, blk, blk],
+        out_specs=(blk, blk, blk),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((rows, _LANE), jnp.float32) for _ in range(3)
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=40 * p_pad * s * int(n_samples) * 4,
+            bytes_accessed=8 * p_pad,
+            transcendentals=16 * p_pad * int(n_samples) * 4,
+        ),
+        interpret=interpret,
+    )(*scene_tables, sky6, cam19, meta3, pix, xf, yf, val)
+    stack = jnp.stack(
+        [out_r.reshape(-1)[:p], out_g.reshape(-1)[:p], out_b.reshape(-1)[:p]],
+        axis=-1,
+    )
+    return stack
+
+
+def camera_constants(cam, width, height):
+    """Precompute the f32[19] SMEM camera block from a Camera pytree.
+
+    Mirrors camera.generate_rays (same basis math) so the in-kernel ray
+    generation is bit-compatible with the jnp path.
+    """
+    from ..camera import camera_basis
+
+    u, v, w = camera_basis(cam)
+    aspect = width / height
+    half_h = jnp.tan(jnp.deg2rad(cam.vfov_deg) * 0.5)
+    half_w = aspect * half_h
+    fd = cam.focus_dist
+    lower_left = cam.origin - fd * (half_w * u + half_h * v + w)
+    horizontal = 2.0 * half_w * fd * u
+    vertical = 2.0 * half_h * fd * v
+    lens = 0.5 * cam.aperture
+    return jnp.concatenate([
+        cam.origin, lower_left, horizontal, vertical, u, v,
+        jnp.reshape(lens, (1,)),
+    ]).astype(jnp.float32)

@@ -57,7 +57,7 @@ PRESETS = {
             aperture=0.1, focus_dist=10.0,
         ),
         config=RenderConfig(width=1200, height=800, spp=100, max_depth=10,
-                            spp_chunk=1, use_pallas=True),
+                            spp_chunk=0, use_pallas=True),
     ),
     # The reference's own two scenes (SceneGenerators.hpp:68 / :6)
     "reference": Preset(
@@ -66,7 +66,7 @@ PRESETS = {
         scene_fn=lambda key: scenes.reference_scene(),
         camera_fn=lambda: make_camera(origin=(0, 1, -3), lookat=(0, 1, 0), vfov_deg=90),
         config=RenderConfig(width=1440, height=1440, spp=100, max_depth=10,
-                            spp_chunk=1, use_pallas=True),
+                            spp_chunk=0, use_pallas=True),
     ),
     "random": Preset(
         name="random",
@@ -74,7 +74,7 @@ PRESETS = {
         scene_fn=lambda key: scenes.random_scene(key, max_spheres=512),
         camera_fn=lambda: make_camera(origin=(0, 4, -10), lookat=(0, 2, 5), vfov_deg=60),
         config=RenderConfig(width=1440, height=1440, spp=100, max_depth=10,
-                            spp_chunk=1, use_pallas=True),
+                            spp_chunk=0, use_pallas=True),
     ),
     # BASELINE.json configs[4] — multi-host scale config (mesh set at runtime)
     "cover_multihost": Preset(
@@ -86,6 +86,6 @@ PRESETS = {
             aperture=0.1, focus_dist=10.0,
         ),
         config=RenderConfig(width=1200, height=800, spp=2000, max_depth=10,
-                            spp_chunk=1, use_pallas=True),
+                            spp_chunk=0, use_pallas=True),
     ),
 }

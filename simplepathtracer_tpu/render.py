@@ -130,6 +130,13 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
         tp = jnp.where(surviving[:, None], tp * att, tp)
         o = jnp.where(live[:, None], hit.point, o)
         d = jnp.where(surviving[:, None], new_d, d)
+        if config.rr_start_depth:
+            # Russian roulette: unbiased early termination by throughput.
+            q = jnp.clip(jnp.max(tp, axis=-1), 0.05, 1.0)
+            kill = (b >= jnp.uint32(config.rr_start_depth)) & (unif[:, 6] >= q)
+            surviving = surviving & ~kill
+            boost = (b >= jnp.uint32(config.rr_start_depth)) & surviving
+            tp = jnp.where(boost[:, None], tp / q[:, None], tp)
         return (o, d, tp, rad, surviving), None
 
     n = origins.shape[0]
@@ -190,6 +197,40 @@ def render_pixels(
     return trace_rays(origins, dirs, keys, scene, config)
 
 
+def _persistent_args(scene, camera, config, key):
+    """Shared SMEM argument blocks for the persistent whole-render kernel."""
+    from .ops.pallas_persistent import camera_constants
+
+    tables = (
+        scene.centers[:, 0], scene.centers[:, 1], scene.centers[:, 2],
+        scene.radii, scene.radii * scene.radii,
+        scene.albedo[:, 0], scene.albedo[:, 1], scene.albedo[:, 2],
+        scene.material.astype(jnp.int32), scene.fuzz, scene.ior,
+    )
+    sky6 = jnp.concatenate([scene.sky_lo, scene.sky_hi]).astype(jnp.float32)
+    cam19 = camera_constants(camera, config.width, config.height)
+    kd = key if key.dtype == jnp.uint32 else jax.random.key_data(key)
+    return tables, sky6, cam19, kd
+
+
+def _render_block_pallas(scene, camera, config, key, pixel_ids, sample_offset, n_samples):
+    """Persistent-kernel radiance sum for a pixel block (forward fast path)."""
+    from .ops.pallas_persistent import render_block_persistent
+
+    tables, sky6, cam19, kd = _persistent_args(scene, camera, config, key)
+    meta3 = jnp.stack(
+        [kd[0], kd[1], jnp.asarray(sample_offset, jnp.uint32)]
+    ).astype(jnp.uint32)
+    return render_block_persistent(
+        pixel_ids, tables, sky6, cam19, meta3,
+        n_samples=n_samples, max_depth=config.max_depth,
+        width=config.width, height=config.height,
+        t_min=config.t_min, t_max=config.t_max,
+        rr_start_depth=config.rr_start_depth,
+        interpret=config.pallas_interpret,
+    )
+
+
 def render_pixel_block(scene, camera, config, key, pixel_ids, sample_offset, n_samples):
     """Radiance sum over ``n_samples`` consecutive sample ids for an explicit
     block of pixels. Returns [len(pixel_ids), 3] radiance sum (not averaged).
@@ -201,6 +242,14 @@ def render_pixel_block(scene, camera, config, key, pixel_ids, sample_offset, n_s
     (pixel, sample) ids.  Samples are folded in ``spp_chunk``-sized scan steps
     to bound live memory.
     """
+    if config.use_pallas:
+        # Persistent kernel: samples loop in-kernel (in-lane regeneration),
+        # so no spp chunking is needed — VMEM state is per-pixel, not
+        # per-(pixel, sample).
+        return _render_block_pallas(
+            scene, camera, config, key, pixel_ids, sample_offset, n_samples
+        )
+
     p = pixel_ids.shape[0]
     chunk = config.spp_chunk or n_samples
     chunk = min(chunk, n_samples)
@@ -222,6 +271,11 @@ def render_pixel_block(scene, camera, config, key, pixel_ids, sample_offset, n_s
 def render_sample_batch(scene, camera, config, key, sample_offset, n_samples):
     """Sum of radiance over ``n_samples`` consecutive sample ids for every
     pixel. Returns [P, 3] radiance sum (not yet averaged)."""
+    if config.use_pallas:
+        pixel_ids = jnp.arange(config.num_pixels, dtype=jnp.int32)
+        return _render_block_pallas(
+            scene, camera, config, key, pixel_ids, sample_offset, n_samples
+        )
     p = config.num_pixels
     pixel_ids = jnp.tile(jnp.arange(p, dtype=jnp.int32), (n_samples,))
     sample_ids = jnp.repeat(

@@ -151,6 +151,10 @@ class RenderConfig:
     # Used by inverse rendering to recover geometry gradients at visibility
     # boundaries, which the detached hit selection otherwise drops.
     silhouette_softness: float = 0.0
+    # Russian roulette: from this bounce index on, paths survive with
+    # probability max(throughput) (clamped to [0.05, 1]) and are reweighted
+    # by 1/p — unbiased early termination the reference lacks.  0 disables.
+    rr_start_depth: int = 0
     rng_impl: str = "threefry2x32"  # jax PRNG implementation
 
     @property

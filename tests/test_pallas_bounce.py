@@ -43,7 +43,31 @@ def test_megakernel_matches_jnp(scene_fn, cam_kw):
     # discriminant formulations, flipping single stochastic samples; allow a
     # fraction of a percent of outlier channels but pin everything else.
     assert d.mean() < 1e-4, f"mean diff {d.mean()}"
-    assert (d > 1e-4).mean() < 2e-3, f"outlier fraction {(d > 1e-4).mean()}"
+    assert (d > 1e-4).mean() < 5e-3, f"outlier fraction {(d > 1e-4).mean()}"
+
+
+def test_bounce_megakernel_direct_trace():
+    """Direct coverage of the per-bounce megakernel path (trace_rays with
+    use_pallas), independent of the persistent whole-render kernel."""
+    import jax.numpy as jnp
+
+    from simplepathtracer_tpu.ops.sampling import ray_keys
+    from simplepathtracer_tpu.render import trace_rays, trace_rays_pallas
+
+    scene = spt.three_sphere_scene()
+    cfg = spt.RenderConfig(width=8, height=8, spp=1, max_depth=6,
+                           pallas_interpret=True)
+    key = jax.random.PRNGKey(2)
+    n = 512
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (n, 1))
+    d = jax.random.normal(jax.random.PRNGKey(3), (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    ctx = ray_keys(key, jnp.arange(n), jnp.zeros(n, jnp.int32))
+    a = np.asarray(trace_rays(o, d, ctx, scene, cfg))
+    b = np.asarray(trace_rays_pallas(o, d, ctx, scene, cfg))
+    diff = np.abs(a - b)
+    assert diff.mean() < 1e-4, diff.mean()
+    assert (diff > 1e-3).mean() < 5e-3
 
 
 def test_megakernel_nonmultiple_block_padding():
