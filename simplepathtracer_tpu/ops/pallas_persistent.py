@@ -60,9 +60,11 @@ def _persistent_kernel(
     sky_ref,   # f32[6]
     cam_ref,   # f32[19]: origin 0:3, lower_left 3:6, horizontal 6:9,
                #          vertical 9:12, u 12:15, v 15:18, lens_radius 18
-    meta_ref,  # u32[3]: k0, k1, sample_offset
+    meta_ref,  # u32[2]: k0, k1 (replicated/unvarying under shard_map)
     # VMEM
     pix_ref,   # (8,128) u32 — global pixel id (garbage on padding lanes)
+    soff_ref,  # (8,128) u32 — sample-id offset (broadcast; may be
+               # samples-axis-varying under shard_map, hence VMEM not SMEM)
     xf_ref,    # (8,128) f32 — pixel x coordinate (pix % width)
     yf_ref,    # (8,128) f32 — pixel y coordinate (pix // width)
     valid_ref, # (8,128) f32 — 1 for real pixels, 0 for padding
@@ -74,7 +76,8 @@ def _persistent_kernel(
 ):
     f32 = jnp.float32
     shape = (_SUB, _LANE)
-    k0, k1, samp_off = meta_ref[0], meta_ref[1], meta_ref[2]
+    k0, k1 = meta_ref[0], meta_ref[1]
+    samp_off = soff_ref[:]
     pix = pix_ref[:]
     valid = valid_ref[:] > 0.0
 
@@ -321,7 +324,7 @@ def _persistent_kernel(
     ),
 )
 def render_block_persistent(
-    pixel_ids, scene_tables, sky6, cam19, meta3,
+    pixel_ids, scene_tables, sky6, cam19, key2, sample_offset,
     n_samples, max_depth, width, height,
     t_min=1e-3, t_max=3.0e7, rr_start_depth=0, interpret=False,
 ):
@@ -330,7 +333,8 @@ def render_block_persistent(
     pixel_ids: [P] int/uint — global pixel ids (row-major, y*width+x).
     scene_tables: 11 [S] arrays (see pallas_bounce.bounce_step_pallas).
     cam19: f32[19] camera constants (see _persistent_kernel).
-    meta3: u32[3] (k0, k1, sample_offset).
+    key2: u32[2] cipher key.  sample_offset: scalar u32 (may be
+    samples-axis-varying under shard_map).
     """
     p = pixel_ids.shape[0]
     p_pad = -(-p // _BLOCK) * _BLOCK
@@ -349,6 +353,7 @@ def render_block_persistent(
     xf = xf.reshape(rows, _LANE)
     yf = yf.reshape(rows, _LANE)
     val = val.reshape(rows, _LANE)
+    soff = jnp.full((rows, _LANE), jnp.asarray(sample_offset, jnp.uint32))
 
     s = scene_tables[0].shape[0]
     kernel = functools.partial(
@@ -360,13 +365,25 @@ def render_block_persistent(
     )
     blk = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # Under shard_map outputs must declare their varying mesh axes (vma):
+    # inherit the union from the inputs.
+    vma = frozenset()
+    for a in (pixel_ids, key2, sample_offset, *scene_tables):
+        vma |= getattr(jax.typeof(a), "vma", frozenset())
+    def to_vma(x):
+        missing = vma - getattr(jax.typeof(x), "vma", frozenset())
+        return jax.lax.pcast(x, tuple(missing), to="varying") if missing else x
+
+    if vma:
+        pix, soff, xf, yf, val = (to_vma(x) for x in (pix, soff, xf, yf, val))
     out_r, out_g, out_b = pl.pallas_call(
         kernel,
         grid=(rows // _SUB,),
-        in_specs=[smem] * 14 + [blk, blk, blk, blk],
+        in_specs=[smem] * 14 + [blk, blk, blk, blk, blk],
         out_specs=(blk, blk, blk),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((rows, _LANE), jnp.float32) for _ in range(3)
+            jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma)
+            for _ in range(3)
         ),
         cost_estimate=pl.CostEstimate(
             flops=40 * p_pad * s * int(n_samples) * 4,
@@ -374,7 +391,7 @@ def render_block_persistent(
             transcendentals=16 * p_pad * int(n_samples) * 4,
         ),
         interpret=interpret,
-    )(*scene_tables, sky6, cam19, meta3, pix, xf, yf, val)
+    )(*scene_tables, sky6, cam19, jnp.asarray(key2, jnp.uint32), pix, soff, xf, yf, val)
     stack = jnp.stack(
         [out_r.reshape(-1)[:p], out_g.reshape(-1)[:p], out_b.reshape(-1)[:p]],
         axis=-1,

@@ -88,11 +88,17 @@ def render_accum_sharded(scene: Scene, camera: Camera, config: RenderConfig, key
         )
         return jax.lax.psum(acc, "samples")
 
+    # check_vma must be off for the Pallas fast path: the Pallas interpreter
+    # (CPU tests) evaluates the kernel jaxpr without replaying the implicit
+    # varying-axis casts, tripping the checker.  Forward rendering has no
+    # transpose, so the check adds no safety here; the gradient path
+    # (loss_and_grad_sharded) keeps the jnp bounce and full checking.
     f = shard_map(
         body,
         mesh=mesh,
         in_specs=(P(), P(), P()),
         out_specs=P("tiles"),
+        check_vma=not config.use_pallas,
     )
     return f(scene, camera, key)
 

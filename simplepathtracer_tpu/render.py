@@ -218,11 +218,8 @@ def _render_block_pallas(scene, camera, config, key, pixel_ids, sample_offset, n
     from .ops.pallas_persistent import render_block_persistent
 
     tables, sky6, cam19, kd = _persistent_args(scene, camera, config, key)
-    meta3 = jnp.stack(
-        [kd[0], kd[1], jnp.asarray(sample_offset, jnp.uint32)]
-    ).astype(jnp.uint32)
     return render_block_persistent(
-        pixel_ids, tables, sky6, cam19, meta3,
+        pixel_ids, tables, sky6, cam19, kd, jnp.asarray(sample_offset, jnp.uint32),
         n_samples=n_samples, max_depth=config.max_depth,
         width=config.width, height=config.height,
         t_min=config.t_min, t_max=config.t_max,

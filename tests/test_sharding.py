@@ -91,3 +91,14 @@ def test_train_step_decreases_loss():
 def test_mesh_validation():
     with pytest.raises(AssertionError):
         make_mesh(tiles=3, samples=3)  # 9 != 8 devices
+
+
+def test_sharded_pallas_render_matches_jnp():
+    """The persistent Pallas kernel under shard_map (interpret mode) must
+    agree with the single-device jnp reference path."""
+    scene, camera, key = _setup()
+    cfg = CFG.replace(use_pallas=True, pallas_interpret=True)
+    mesh = make_mesh(tiles=2, samples=4)
+    a = render_sharded(scene, camera, cfg, key, mesh)
+    b = R.render(scene, camera, CFG, key)
+    assert jnp.abs(a - b).max() < 1e-4, float(jnp.abs(a - b).max())
