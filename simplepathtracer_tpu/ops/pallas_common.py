@@ -1,0 +1,243 @@
+"""Shared tile-level building blocks for the Pallas kernels.
+
+Both TPU kernels — the per-bounce megakernel (pallas_bounce.py) and the
+persistent whole-render kernel (pallas_persistent.py) — run the same
+physics on (8, 128) f32 tiles: counter-based threefry RNG, the unrolled
+sphere scan with inline winner-attribute tracking, hit reconstruction, the
+sky gradient, and the Lambertian/metal/dielectric scatter.  This module is
+the single home for that math so the two kernels cannot drift apart (their
+agreement with the jnp reference path is tested; their agreement with each
+other follows from sharing this code).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.pallas import tpu as pltpu
+
+from ..types import Material
+
+SUB = 8
+LANE = 128
+BLOCK = SUB * LANE
+
+# threefry2x32 constants (must match ops/sampling.py).
+_ROT = (13, 15, 26, 6, 17, 29, 16, 24)
+_PARITY = np.uint32(0x1BD11BDA)
+
+
+def _rotl(x, r: int):
+    return (x << jnp.uint32(r)) | (x >> jnp.uint32(32 - r))
+
+
+def threefry2x32(k0, k1, c0, c1):
+    """20-round threefry2x32 on u32 tiles — identical to ops/sampling.py."""
+    ks2 = k0 ^ k1 ^ _PARITY
+    x0 = c0 + k0
+    x1 = c1 + k1
+
+    def four(x0, x1, rs):
+        for r in rs:
+            x0 = x0 + x1
+            x1 = _rotl(x1, r)
+            x1 = x1 ^ x0
+        return x0, x1
+
+    x0, x1 = four(x0, x1, _ROT[:4])
+    x0, x1 = x0 + k1, x1 + ks2 + jnp.uint32(1)
+    x0, x1 = four(x0, x1, _ROT[4:])
+    x0, x1 = x0 + ks2, x1 + k0 + jnp.uint32(2)
+    x0, x1 = four(x0, x1, _ROT[:4])
+    x0, x1 = x0 + k0, x1 + k1 + jnp.uint32(3)
+    x0, x1 = four(x0, x1, _ROT[4:])
+    x0, x1 = x0 + k1, x1 + ks2 + jnp.uint32(4)
+    x0, x1 = four(x0, x1, _ROT[:4])
+    x0, x1 = x0 + ks2, x1 + k0 + jnp.uint32(5)
+    return x0, x1
+
+
+def to_unit_float(bits):
+    """u32 -> f32 in [0, 1) from the top 24 bits.
+
+    Mosaic has no u32 -> f32 cast; the 24-bit value fits in i32, so a
+    bitcast (exact, non-negative) then i32 -> f32 is equivalent.
+    """
+    i = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+    return i.astype(jnp.float32) * np.float32(2.0**-24)
+
+
+def closest_hit_scan(
+    table_refs, ox, oy, oz, dx, dy, dz, *, n_spheres: int, t_min: float, t_max: float
+):
+    """Unrolled linear scan over the SMEM sphere tables with inline
+    winner-attribute tracking.
+
+    table_refs: (cx, cy, cz, radius, r2, albr, albg, albb, mat, fuzz, ior)
+    SMEM refs.  Returns (t, index, cx, cy, cz, r, albr, albg, albb, mat,
+    fuzz, ior) tiles for the winning sphere (index == -1 for miss).
+
+    Candidates with a negative discriminant self-reject through IEEE NaN
+    (sqrt of a negative fails every comparison).  The manual unroll lets
+    the scalar table loads run ahead of the VPU pipeline — measured 2.2x
+    on v5e; lax.fori_loop(unroll=) only supports full unrolling.
+    """
+    cx_ref, cy_ref, cz_ref, rad_ref, r2_ref, ar_ref, ag_ref, ab_ref, m_ref, f_ref, i_ref = table_refs
+    shape = (SUB, LANE)
+    f32 = jnp.float32
+    init = (
+        jnp.full(shape, t_max, f32), jnp.full(shape, -1, jnp.int32),
+        jnp.zeros(shape, f32), jnp.zeros(shape, f32), jnp.zeros(shape, f32),
+        jnp.ones(shape, f32), jnp.zeros(shape, f32), jnp.zeros(shape, f32),
+        jnp.zeros(shape, f32), jnp.zeros(shape, jnp.int32),
+        jnp.zeros(shape, f32), jnp.ones(shape, f32),
+    )
+
+    def one_sphere(s, c):
+        (bt, bi, bcx, bcy, bcz, br, bar, bag, bab, bm, bf, bio) = c
+        scx, scy, scz, sr2 = cx_ref[s], cy_ref[s], cz_ref[s], r2_ref[s]
+        ocx = scx - ox
+        ocy = scy - oy
+        ocz = scz - oz
+        tc = ocx * dx + ocy * dy + ocz * dz
+        oc2 = ocx * ocx + ocy * ocy + ocz * ocz
+        disc = sr2 - (oc2 - tc * tc)
+        sq = jnp.sqrt(disc)
+        t_near = tc - sq
+        t = jnp.where(t_near > t_min, t_near, tc + sq)
+        ok = (t > t_min) & (t < bt)
+        bt = jnp.where(ok, t, bt)
+        bi = jnp.where(ok, s, bi)
+        bcx = jnp.where(ok, scx, bcx)
+        bcy = jnp.where(ok, scy, bcy)
+        bcz = jnp.where(ok, scz, bcz)
+        br = jnp.where(ok, rad_ref[s], br)
+        bar = jnp.where(ok, ar_ref[s], bar)
+        bag = jnp.where(ok, ag_ref[s], bag)
+        bab = jnp.where(ok, ab_ref[s], bab)
+        bm = jnp.where(ok, m_ref[s], bm)
+        bf = jnp.where(ok, f_ref[s], bf)
+        bio = jnp.where(ok, i_ref[s], bio)
+        return (bt, bi, bcx, bcy, bcz, br, bar, bag, bab, bm, bf, bio)
+
+    unroll = next((u for u in (4, 2, 1) if n_spheres % u == 0), 1)
+
+    def body(i, c):
+        for u in range(unroll):
+            c = one_sphere(i * unroll + u, c)
+        return c
+
+    return jax.lax.fori_loop(0, n_spheres // unroll, body, init)
+
+
+def hit_point_normal(ox, oy, oz, dx, dy, dz, t, cx, cy, cz, r):
+    """Hit point + outward unit normal; the sign of r flips the normal for
+    Shirley's hollow glass (negative radii)."""
+    px = ox + t * dx
+    py = oy + t * dy
+    pz = oz + t * dz
+    nx = (px - cx) / r
+    ny = (py - cy) / r
+    nz = (pz - cz) / r
+    inv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-20)
+    return px, py, pz, nx * inv, ny * inv, nz * inv
+
+
+def sky_components(sky_ref, dy):
+    """Vertical sky gradient rgb from the f32[6] (lo rgb, hi rgb) SMEM ref."""
+    s01 = 0.5 * (dy + 1.0)
+    return (
+        sky_ref[0] + (sky_ref[3] - sky_ref[0]) * s01,
+        sky_ref[1] + (sky_ref[4] - sky_ref[1]) * s01,
+        sky_ref[2] + (sky_ref[5] - sky_ref[2]) * s01,
+    )
+
+
+def scatter_tiles(dx, dy, dz, nx, ny, nz, mat, ar, ag, ab, fz, io, u):
+    """Branchless Lambertian/metal/dielectric scatter on tiles.
+
+    u: 6 uniform tiles (bounce_noise columns 0-5).  Returns
+    (sdx, sdy, sdz, atr, atg, atb, scattered) — the scattered unit
+    direction, rgb attenuation, and the metal-absorption mask.  Semantics
+    identical to ops/materials.scatter (the jnp reference).
+    """
+    d_dot_n = dx * nx + dy * ny + dz * nz
+    front = d_dot_n < 0.0
+    fsign = jnp.where(front, 1.0, -1.0)
+    nfx, nfy, nfz = nx * fsign, ny * fsign, nz * fsign
+    cos_t = jnp.minimum(-(dx * nfx + dy * nfy + dz * nfz), 1.0)
+
+    # Lambertian: nf + uniform point on the unit sphere.
+    zl = 1.0 - 2.0 * u[0]
+    rl = jnp.sqrt(jnp.maximum(1.0 - zl * zl, 0.0))
+    phl = np.float32(2.0 * np.pi) * u[1]
+    lx = nfx + rl * jnp.cos(phl)
+    ly = nfy + rl * jnp.sin(phl)
+    lz = nfz + zl
+    ln2 = lx * lx + ly * ly + lz * lz
+    linv = jax.lax.rsqrt(jnp.maximum(ln2, 1e-20))
+    ldeg = ln2 <= 1e-12
+    lamx = jnp.where(ldeg, nfx, lx * linv)
+    lamy = jnp.where(ldeg, nfy, ly * linv)
+    lamz = jnp.where(ldeg, nfz, lz * linv)
+
+    # Metal: mirror + fuzz * uniform point in the unit ball.
+    two_dn = 2.0 * (dx * nfx + dy * nfy + dz * nfz)
+    rfx = dx - two_dn * nfx
+    rfy = dy - two_dn * nfy
+    rfz = dz - two_dn * nfz
+    zm = 1.0 - 2.0 * u[2]
+    rm = jnp.sqrt(jnp.maximum(1.0 - zm * zm, 0.0))
+    phm = np.float32(2.0 * np.pi) * u[3]
+    # cbrt has no Mosaic lowering; exp(log/3) is equivalent for u in [0,1).
+    bscale = jnp.exp(jnp.log(jnp.maximum(u[4], 1e-30)) * np.float32(1.0 / 3.0)) * fz
+    mx = rfx + bscale * rm * jnp.cos(phm)
+    my = rfy + bscale * rm * jnp.sin(phm)
+    mz = rfz + bscale * zm
+    mn2 = mx * mx + my * my + mz * mz
+    minv = jax.lax.rsqrt(jnp.maximum(mn2, 1e-20))
+    mdeg = mn2 <= 1e-12
+    metx = jnp.where(mdeg, nfx, mx * minv)
+    mety = jnp.where(mdeg, nfy, my * minv)
+    metz = jnp.where(mdeg, nfz, mz * minv)
+    metal_ok = metx * nfx + mety * nfy + metz * nfz > 0.0
+
+    # Dielectric: Schlick + sqrt-free TIR test (booleans carry no gradient
+    # and sqrt'(0) would be inf at head-on hits).
+    eta = jnp.where(front, 1.0 / io, io)
+    sin2 = jnp.maximum(1.0 - cos_t * cos_t, 0.0)
+    cannot = eta * eta * sin2 > 1.0
+    r0s = (1.0 - eta) / (1.0 + eta)
+    r0 = r0s * r0s
+    omc = 1.0 - cos_t
+    omc2 = omc * omc
+    refl_p = r0 + (1.0 - r0) * omc2 * omc2 * omc
+    do_refl = cannot | (u[5] < refl_p)
+    ppx = eta * (dx + cos_t * nfx)
+    ppy = eta * (dy + cos_t * nfy)
+    ppz = eta * (dz + cos_t * nfz)
+    par = jnp.sqrt(jnp.maximum(1.0 - (ppx * ppx + ppy * ppy + ppz * ppz), 1e-12))
+    gx = jnp.where(do_refl, rfx, ppx - par * nfx)
+    gy = jnp.where(do_refl, rfy, ppy - par * nfy)
+    gz = jnp.where(do_refl, rfz, ppz - par * nfz)
+    gn2 = gx * gx + gy * gy + gz * gz
+    ginv = jax.lax.rsqrt(jnp.maximum(gn2, 1e-20))
+    gdeg = gn2 <= 1e-12
+    diex = jnp.where(gdeg, nfx, gx * ginv)
+    diey = jnp.where(gdeg, nfy, gy * ginv)
+    diez = jnp.where(gdeg, nfz, gz * ginv)
+
+    is_metal = mat == int(Material.METAL)
+    is_diel = mat == int(Material.DIELECTRIC)
+    sdx = jnp.where(is_metal, metx, lamx)
+    sdy = jnp.where(is_metal, mety, lamy)
+    sdz = jnp.where(is_metal, metz, lamz)
+    sdx = jnp.where(is_diel, diex, sdx)
+    sdy = jnp.where(is_diel, diey, sdy)
+    sdz = jnp.where(is_diel, diez, sdz)
+    atr = jnp.where(is_diel, 1.0, ar)
+    atg = jnp.where(is_diel, 1.0, ag)
+    atb = jnp.where(is_diel, 1.0, ab)
+    scattered = metal_ok | ~is_metal
+    return sdx, sdy, sdz, atr, atg, atb, scattered

@@ -45,11 +45,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..types import Material
-from .pallas_bounce import _threefry2x32, _unit
+from .pallas_common import (
+    LANE as _LANE,
+    SUB as _SUB,
+    closest_hit_scan,
+    hit_point_normal,
+    scatter_tiles,
+    sky_components,
+    threefry2x32,
+    to_unit_float,
+)
 
-_SUB = 8
-_LANE = 128
 _BLOCK = _SUB * _LANE
 
 
@@ -81,9 +87,14 @@ def _persistent_kernel(
     pix = pix_ref[:]
     valid = valid_ref[:] > 0.0
 
+    tables = (
+        cx_ref, cy_ref, cz_ref, rad_ref, r2_ref,
+        albr_ref, albg_ref, albb_ref, mat_ref, fuzz_ref, ior_ref,
+    )
+
     def uniforms(c1):
-        w0, w1 = _threefry2x32(k0, k1, pix, c1)
-        return _unit(w0), _unit(w1)
+        w0, w1 = threefry2x32(k0, k1, pix, c1)
+        return to_unit_float(w0), to_unit_float(w1)
 
     nsamp_u = jnp.uint32(n_samples)
 
@@ -126,62 +137,16 @@ def _persistent_kernel(
         b = jnp.where(regen, jnp.uint32(0), b)
         alive = alive | regen
 
-        # ---- closest hit: unrolled sphere scan with attr tracking -------
-        init = (
-            jnp.full(shape, t_max, f32), jnp.full(shape, -1, jnp.int32),
-            jnp.zeros(shape, f32), jnp.zeros(shape, f32), jnp.zeros(shape, f32),
-            jnp.ones(shape, f32), jnp.zeros(shape, f32), jnp.zeros(shape, f32),
-            jnp.zeros(shape, f32), jnp.zeros(shape, jnp.int32),
-            jnp.zeros(shape, f32), jnp.ones(shape, f32),
-        )
-
-        def one_sphere(sp, c):
-            (bt, bi, bcx, bcy, bcz, br, bar, bag, bab, bm, bf, bio) = c
-            scx, scy, scz, sr2 = cx_ref[sp], cy_ref[sp], cz_ref[sp], r2_ref[sp]
-            ocx = scx - ox
-            ocy = scy - oy
-            ocz = scz - oz
-            tc = ocx * dx + ocy * dy + ocz * dz
-            oc2 = ocx * ocx + ocy * ocy + ocz * ocz
-            disc = sr2 - (oc2 - tc * tc)
-            sq = jnp.sqrt(disc)  # NaN when disc<0 -> fails compares below
-            t_near = tc - sq
-            t = jnp.where(t_near > t_min, t_near, tc + sq)
-            ok = (t > t_min) & (t < bt)
-            bt = jnp.where(ok, t, bt)
-            bi = jnp.where(ok, sp, bi)
-            bcx = jnp.where(ok, scx, bcx)
-            bcy = jnp.where(ok, scy, bcy)
-            bcz = jnp.where(ok, scz, bcz)
-            br = jnp.where(ok, rad_ref[sp], br)
-            bar = jnp.where(ok, albr_ref[sp], bar)
-            bag = jnp.where(ok, albg_ref[sp], bag)
-            bab = jnp.where(ok, albb_ref[sp], bab)
-            bm = jnp.where(ok, mat_ref[sp], bm)
-            bf = jnp.where(ok, fuzz_ref[sp], bf)
-            bio = jnp.where(ok, ior_ref[sp], bio)
-            return (bt, bi, bcx, bcy, bcz, br, bar, bag, bab, bm, bf, bio)
-
-        unroll = next((u for u in (4, 2, 1) if n_spheres % u == 0), 1)
-
-        def scan_body(i, c):
-            for u in range(unroll):
-                c = one_sphere(i * unroll + u, c)
-            return c
-
-        (t, bi, cx, cy, cz, r, ar, ag, ab, mat, fz, io) = jax.lax.fori_loop(
-            0, n_spheres // unroll, scan_body, init
+        # ---- closest hit + reconstruction (shared tile physics) ---------
+        (t, bi, cx, cy, cz, r, ar, ag, ab, mat, fz, io) = closest_hit_scan(
+            tables, ox, oy, oz, dx, dy, dz,
+            n_spheres=n_spheres, t_min=t_min, t_max=t_max,
         )
         hit = bi >= 0
 
-        px = ox + t * dx
-        py = oy + t * dy
-        pz = oz + t * dz
-        nx = (px - cx) / r
-        ny = (py - cy) / r
-        nz = (pz - cz) / r
-        inv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-20)
-        nx, ny, nz = nx * inv, ny * inv, nz * inv
+        px, py, pz, nx, ny, nz = hit_point_normal(
+            ox, oy, oz, dx, dy, dz, t, cx, cy, cz, r
+        )
 
         # ---- bounce noise (7 uniforms, slot map of ops/sampling.py) -----
         slot0 = b * jnp.uint32(4)
@@ -190,86 +155,16 @@ def _persistent_kernel(
         u4, u5 = uniforms(c1b | (slot0 + jnp.uint32(2)))
 
         # ---- sky miss shader --------------------------------------------
-        s01y = 0.5 * (dy + 1.0)
+        skr, skg, skb = sky_components(sky_ref, dy)
         miss_f = jnp.where(alive & ~hit, 1.0, 0.0)
-        ar_ = ar_ + tr * (sky_ref[0] + (sky_ref[3] - sky_ref[0]) * s01y) * miss_f
-        ag_ = ag_ + tg * (sky_ref[1] + (sky_ref[4] - sky_ref[1]) * s01y) * miss_f
-        ab_ = ab_ + tb * (sky_ref[2] + (sky_ref[5] - sky_ref[2]) * s01y) * miss_f
+        ar_ = ar_ + tr * skr * miss_f
+        ag_ = ag_ + tg * skg * miss_f
+        ab_ = ab_ + tb * skb * miss_f
 
-        # ---- scatter -----------------------------------------------------
-        d_dot_n = dx * nx + dy * ny + dz * nz
-        front = d_dot_n < 0.0
-        fsign = jnp.where(front, 1.0, -1.0)
-        nfx, nfy, nfz = nx * fsign, ny * fsign, nz * fsign
-        cos_t = jnp.minimum(-(dx * nfx + dy * nfy + dz * nfz), 1.0)
-
-        zl = 1.0 - 2.0 * u0
-        rl = jnp.sqrt(jnp.maximum(1.0 - zl * zl, 0.0))
-        phl = np.float32(2.0 * np.pi) * u1
-        lx = nfx + rl * jnp.cos(phl)
-        ly = nfy + rl * jnp.sin(phl)
-        lz = nfz + zl
-        ln2 = lx * lx + ly * ly + lz * lz
-        linv = jax.lax.rsqrt(jnp.maximum(ln2, 1e-20))
-        ldeg = ln2 <= 1e-12
-        lamx = jnp.where(ldeg, nfx, lx * linv)
-        lamy = jnp.where(ldeg, nfy, ly * linv)
-        lamz = jnp.where(ldeg, nfz, lz * linv)
-
-        two_dn = 2.0 * (dx * nfx + dy * nfy + dz * nfz)
-        rfx = dx - two_dn * nfx
-        rfy = dy - two_dn * nfy
-        rfz = dz - two_dn * nfz
-        zm = 1.0 - 2.0 * u2
-        rm = jnp.sqrt(jnp.maximum(1.0 - zm * zm, 0.0))
-        phm = np.float32(2.0 * np.pi) * u3
-        bscale = jnp.exp(jnp.log(jnp.maximum(u4, 1e-30)) * np.float32(1.0 / 3.0)) * fz
-        mx = rfx + bscale * rm * jnp.cos(phm)
-        my = rfy + bscale * rm * jnp.sin(phm)
-        mz = rfz + bscale * zm
-        mn2 = mx * mx + my * my + mz * mz
-        minv = jax.lax.rsqrt(jnp.maximum(mn2, 1e-20))
-        mdeg = mn2 <= 1e-12
-        metx = jnp.where(mdeg, nfx, mx * minv)
-        mety = jnp.where(mdeg, nfy, my * minv)
-        metz = jnp.where(mdeg, nfz, mz * minv)
-        metal_ok = metx * nfx + mety * nfy + metz * nfz > 0.0
-
-        eta = jnp.where(front, 1.0 / io, io)
-        sin2 = jnp.maximum(1.0 - cos_t * cos_t, 0.0)
-        cannot = eta * eta * sin2 > 1.0
-        r0s = (1.0 - eta) / (1.0 + eta)
-        r0 = r0s * r0s
-        omc = 1.0 - cos_t
-        omc2 = omc * omc
-        refl_p = r0 + (1.0 - r0) * omc2 * omc2 * omc
-        do_refl = cannot | (u5 < refl_p)
-        ppx = eta * (dx + cos_t * nfx)
-        ppy = eta * (dy + cos_t * nfy)
-        ppz = eta * (dz + cos_t * nfz)
-        par = jnp.sqrt(jnp.maximum(1.0 - (ppx * ppx + ppy * ppy + ppz * ppz), 1e-12))
-        gx = jnp.where(do_refl, rfx, ppx - par * nfx)
-        gy = jnp.where(do_refl, rfy, ppy - par * nfy)
-        gz = jnp.where(do_refl, rfz, ppz - par * nfz)
-        gn2 = gx * gx + gy * gy + gz * gz
-        ginv = jax.lax.rsqrt(jnp.maximum(gn2, 1e-20))
-        gdeg = gn2 <= 1e-12
-        diex = jnp.where(gdeg, nfx, gx * ginv)
-        diey = jnp.where(gdeg, nfy, gy * ginv)
-        diez = jnp.where(gdeg, nfz, gz * ginv)
-
-        is_metal = mat == int(Material.METAL)
-        is_diel = mat == int(Material.DIELECTRIC)
-        sdx = jnp.where(is_metal, metx, lamx)
-        sdy = jnp.where(is_metal, mety, lamy)
-        sdz = jnp.where(is_metal, metz, lamz)
-        sdx = jnp.where(is_diel, diex, sdx)
-        sdy = jnp.where(is_diel, diey, sdy)
-        sdz = jnp.where(is_diel, diez, sdz)
-        atr = jnp.where(is_diel, 1.0, ar)
-        atg = jnp.where(is_diel, 1.0, ag)
-        atb = jnp.where(is_diel, 1.0, ab)
-        scattered = metal_ok | ~is_metal
+        sdx, sdy, sdz, atr, atg, atb, scattered = scatter_tiles(
+            dx, dy, dz, nx, ny, nz, mat, ar, ag, ab, fz, io,
+            (u0, u1, u2, u3, u4, u5),
+        )
 
         # ---- state update + sample advance -------------------------------
         b_next = b + jnp.uint32(1)
