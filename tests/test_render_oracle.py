@@ -40,6 +40,16 @@ def test_reference_scene_matches_oracle():
     _compare(scene, cam, 48, 32, 24, 8, mean_tol=0.02, p99_tol=0.15)
 
 
+def test_config3_cover_scene_defocus_matches_oracle():
+    # BASELINE config 3 at reduced scale: many spheres + thin-lens defocus.
+    scene = spt.cover_scene(jax.random.PRNGKey(0), max_spheres=128)
+    cam = spt.make_camera(
+        origin=(13, 2, 3), lookat=(0, 0, 0), vfov_deg=20,
+        aperture=0.1, focus_dist=10.0,
+    )
+    _compare(scene, cam, 40, 24, 8, 6, mean_tol=0.035, p99_tol=0.25)
+
+
 def test_render_deterministic():
     scene = spt.simple_scene()
     cam = spt.make_camera(origin=(0, 0, -1), lookat=(0, 0, 1))
