@@ -68,15 +68,14 @@ def _persistent_kernel(
                #          vertical 9:12, u 12:15, v 15:18, lens_radius 18
     meta_ref,  # u32[2]: k0, k1 (replicated/unvarying under shard_map)
     # VMEM
-    pix_ref,   # (8,128) u32 — global pixel id (garbage on padding lanes)
+    pix_ref,   # (n_banks, 8, 128) u32 — global pixel id per lane bank
     soff_ref,  # (8,128) u32 — sample-id offset (broadcast; may be
                # samples-axis-varying under shard_map, hence VMEM not SMEM)
-    xf_ref,    # (8,128) f32 — pixel x coordinate (pix % width)
-    yf_ref,    # (8,128) f32 — pixel y coordinate (pix // width)
-    valid_ref, # (8,128) f32 — 1 for real pixels, 0 for padding
+    xf_ref,    # (n_banks, 8, 128) f32 — pixel x coordinate
+    yf_ref,    # (n_banks, 8, 128) f32 — pixel y coordinate
     # outputs
-    out_r, out_g, out_b,
-    *, n_spheres: int, n_samples: int, max_depth: int,
+    out_r, out_g, out_b,  # (n_banks, 8, 128) f32 radiance sums
+    *, n_spheres: int, n_samples: int, max_depth: int, n_banks: int,
     width: int, height: int, t_min: float, t_max: float,
     rr_start_depth: int = 0,
 ):
@@ -84,36 +83,52 @@ def _persistent_kernel(
     shape = (_SUB, _LANE)
     k0, k1 = meta_ref[0], meta_ref[1]
     samp_off = soff_ref[:]
-    pix = pix_ref[:]
-    valid = valid_ref[:] > 0.0
 
     tables = (
         cx_ref, cy_ref, cz_ref, rad_ref, r2_ref,
         albr_ref, albg_ref, albb_ref, mat_ref, fuzz_ref, ior_ref,
     )
 
-    def uniforms(c1):
-        w0, w1 = threefry2x32(k0, k1, pix, c1)
-        return to_unit_float(w0), to_unit_float(w1)
-
     nsamp_u = jnp.uint32(n_samples)
+    nbank_u = jnp.uint32(n_banks)
 
+    # carry layout: kb, s, pix_cur, xf_cur, yf_cur, alive_f,
+    #               ox oy oz dx dy dz tr tg tb, then 3*n_banks accumulators
     def cond(carry):
-        s = carry[0]
-        return jnp.any(s < nsamp_u)
+        return jnp.any(carry[0] < nbank_u)
 
     def body(carry):
-        (s, b, alive_f, ox, oy, oz, dx, dy, dz, tr, tg, tb, ar_, ag_, ab_) = carry
+        (kb, s, pix, xfc, yfc, alive_f,
+         ox, oy, oz, dx, dy, dz, tr, tg, tb) = carry[:15]
+        accs = list(carry[15:15 + 3 * n_banks])
         alive = alive_f > 0.0
 
-        # ---- regenerate camera rays on exhausted lanes ------------------
-        regen = (~alive) & (s < nsamp_u)
+        def uniforms(c1):
+            w0, w1 = threefry2x32(k0, k1, pix, c1)
+            return to_unit_float(w0), to_unit_float(w1)
+
+        # ---- regenerate on exhausted lanes (possibly a new bank) --------
+        regen = (~alive) & (kb < nbank_u)
+        # Bank-select the pixel attributes for regenerating lanes.
+        if n_banks > 1:
+            npix, nxf, nyf = pix_ref[0], xf_ref[0], yf_ref[0]
+            for k in range(1, n_banks):
+                in_k = kb == jnp.uint32(k)
+                npix = jnp.where(in_k, pix_ref[k], npix)
+                nxf = jnp.where(in_k, xf_ref[k], nxf)
+                nyf = jnp.where(in_k, yf_ref[k], nyf)
+        else:
+            npix, nxf, nyf = pix_ref[0], xf_ref[0], yf_ref[0]
+        pix = jnp.where(regen, npix, pix)
+        xfc = jnp.where(regen, nxf, xfc)
+        yfc = jnp.where(regen, nyf, yfc)
+
         sample_id = samp_off + s
         c1b = sample_id << jnp.uint32(8)
         jx, jy = uniforms(c1b | jnp.uint32(124))
         lu, lv = uniforms(c1b | jnp.uint32(125))
-        s01 = (xf_ref[:] + jx) * np.float32(1.0 / width)
-        t01 = 1.0 - (yf_ref[:] + jy) * np.float32(1.0 / height)
+        s01 = (xfc + jx) * np.float32(1.0 / width)
+        t01 = 1.0 - (yfc + jy) * np.float32(1.0 / height)
         lr = jnp.sqrt(lu) * cam_ref[18]
         th = np.float32(2.0 * np.pi) * lv
         ou = lr * jnp.cos(th)
@@ -134,7 +149,7 @@ def _persistent_kernel(
         tr = jnp.where(regen, 1.0, tr)
         tg = jnp.where(regen, 1.0, tg)
         tb = jnp.where(regen, 1.0, tb)
-        b = jnp.where(regen, jnp.uint32(0), b)
+        b = jnp.where(regen, jnp.uint32(0), carry[15 + 3 * n_banks])
         alive = alive | regen
 
         # ---- closest hit + reconstruction (shared tile physics) ---------
@@ -154,19 +169,21 @@ def _persistent_kernel(
         u2, u3 = uniforms(c1b | (slot0 + jnp.uint32(1)))
         u4, u5 = uniforms(c1b | (slot0 + jnp.uint32(2)))
 
-        # ---- sky miss shader --------------------------------------------
+        # ---- sky miss shader: bank-routed accumulation ------------------
         skr, skg, skb = sky_components(sky_ref, dy)
         miss_f = jnp.where(alive & ~hit, 1.0, 0.0)
-        ar_ = ar_ + tr * skr * miss_f
-        ag_ = ag_ + tg * skg * miss_f
-        ab_ = ab_ + tb * skb * miss_f
+        for k in range(n_banks):
+            bank_f = miss_f * jnp.where(kb == jnp.uint32(k), 1.0, 0.0)
+            accs[3 * k + 0] = accs[3 * k + 0] + tr * skr * bank_f
+            accs[3 * k + 1] = accs[3 * k + 1] + tg * skg * bank_f
+            accs[3 * k + 2] = accs[3 * k + 2] + tb * skb * bank_f
 
         sdx, sdy, sdz, atr, atg, atb, scattered = scatter_tiles(
             dx, dy, dz, nx, ny, nz, mat, ar, ag, ab, fz, io,
             (u0, u1, u2, u3, u4, u5),
         )
 
-        # ---- state update + sample advance -------------------------------
+        # ---- state update + sample/bank advance -------------------------
         b_next = b + jnp.uint32(1)
         surv = alive & hit & scattered & (b_next < jnp.uint32(max_depth))
         lf = jnp.where(alive & hit, 1.0, 0.0)
@@ -192,23 +209,29 @@ def _persistent_kernel(
         dy = dy + (sdy - dy) * sf
         dz = dz + (sdz - dz) * sf
         b = jnp.where(surv, b_next, b)
-        s = jnp.where(terminated, s + jnp.uint32(1), s)
-        alive_f = sf
-        return (s, b, alive_f, ox, oy, oz, dx, dy, dz, tr, tg, tb, ar_, ag_, ab_)
+        s_next = s + jnp.uint32(1)
+        bank_done = s_next >= nsamp_u
+        s = jnp.where(terminated, jnp.where(bank_done, jnp.uint32(0), s_next), s)
+        kb = jnp.where(terminated & bank_done, kb + jnp.uint32(1), kb)
+        return tuple(
+            [kb, s, pix, xfc, yfc, sf, ox, oy, oz, dx, dy, dz, tr, tg, tb]
+            + accs + [b]
+        )
 
     z = jnp.zeros(shape, f32)
-    # Padding lanes start with their sample budget exhausted.
-    s0 = jnp.where(valid, jnp.uint32(0), nsamp_u)
-    carry = (
-        s0, jnp.zeros(shape, jnp.uint32), z,
-        z, z, z, z, z, jnp.ones(shape, f32),
-        jnp.ones(shape, f32), jnp.ones(shape, f32), jnp.ones(shape, f32),
-        z, z, z,
+    zu = jnp.zeros(shape, jnp.uint32)
+    carry = tuple(
+        [zu, zu, zu, z, z, z,
+         z, z, z, z, z, jnp.ones(shape, f32),
+         jnp.ones(shape, f32), jnp.ones(shape, f32), jnp.ones(shape, f32)]
+        + [z] * (3 * n_banks) + [zu]
     )
     out = jax.lax.while_loop(cond, body, carry)
-    out_r[:] = out[12]
-    out_g[:] = out[13]
-    out_b[:] = out[14]
+    accs = out[15:15 + 3 * n_banks]
+    for k in range(n_banks):
+        out_r[k] = accs[3 * k + 0]
+        out_g[k] = accs[3 * k + 1]
+        out_b[k] = accs[3 * k + 2]
 
 
 @functools.partial(
@@ -230,68 +253,82 @@ def render_block_persistent(
     cam19: f32[19] camera constants (see _persistent_kernel).
     key2: u32[2] cipher key.  sample_offset: scalar u32 (may be
     samples-axis-varying under shard_map).
+
+    Load balance: each lane serves n_banks pixels strided n_lanes apart in
+    the pixel_ids array, so a lane's total work averages over widely
+    separated pixels.  Without banking, a block's while_loop runs as long
+    as its WORST pixel (a glass pixel can cost ~3x the mean), idling the
+    other 1023 lanes — measured ~2.2x waste on the cover scene.
     """
     p = pixel_ids.shape[0]
-    p_pad = -(-p // _BLOCK) * _BLOCK
-    pad = p_pad - p
-    pix = jnp.asarray(pixel_ids).astype(jnp.uint32)
+    n_banks = int(min(8, max(1, p // _BLOCK)))
+    n_lanes = -(-p // n_banks)
+    lanes_pad = -(-n_lanes // _BLOCK) * _BLOCK
+    rows = lanes_pad // _LANE
+
+    pix_all = jnp.asarray(pixel_ids).astype(jnp.uint32)
+    # Position grid [n_banks, lanes_pad]: bank k, lane l -> position
+    # k*n_lanes + l in pixel_ids (clamped; overflow positions re-trace real
+    # pixels and are discarded by the final slice).
+    pos = (
+        jnp.arange(n_banks, dtype=jnp.int32)[:, None] * n_lanes
+        + jnp.arange(lanes_pad, dtype=jnp.int32)[None, :]
+    )
+    pos = jnp.minimum(pos, p - 1)
+    pix = pix_all[pos]                                   # [n_banks, lanes_pad]
     xf = (pix % jnp.uint32(width)).astype(jnp.float32)
     yf = (pix // jnp.uint32(width)).astype(jnp.float32)
-    val = jnp.ones((p,), jnp.float32)
-    if pad:
-        pix = jnp.concatenate([pix, jnp.zeros((pad,), jnp.uint32)])
-        xf = jnp.concatenate([xf, jnp.zeros((pad,), jnp.float32)])
-        yf = jnp.concatenate([yf, jnp.zeros((pad,), jnp.float32)])
-        val = jnp.concatenate([val, jnp.zeros((pad,), jnp.float32)])
-    rows = p_pad // _LANE
-    pix = pix.reshape(rows, _LANE)
-    xf = xf.reshape(rows, _LANE)
-    yf = yf.reshape(rows, _LANE)
-    val = val.reshape(rows, _LANE)
+    pix = pix.reshape(n_banks, rows, _LANE)
+    xf = xf.reshape(n_banks, rows, _LANE)
+    yf = yf.reshape(n_banks, rows, _LANE)
     soff = jnp.full((rows, _LANE), jnp.asarray(sample_offset, jnp.uint32))
 
     s = scene_tables[0].shape[0]
     kernel = functools.partial(
         _persistent_kernel,
         n_spheres=s, n_samples=int(n_samples), max_depth=int(max_depth),
-        width=int(width), height=int(height),
+        n_banks=n_banks, width=int(width), height=int(height),
         t_min=float(t_min), t_max=float(t_max),
         rr_start_depth=int(rr_start_depth),
     )
-    blk = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    blk2 = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    blk3 = pl.BlockSpec(
+        (n_banks, _SUB, _LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     # Under shard_map outputs must declare their varying mesh axes (vma):
     # inherit the union from the inputs.
     vma = frozenset()
     for a in (pixel_ids, key2, sample_offset, *scene_tables):
         vma |= getattr(jax.typeof(a), "vma", frozenset())
+
     def to_vma(x):
         missing = vma - getattr(jax.typeof(x), "vma", frozenset())
         return jax.lax.pcast(x, tuple(missing), to="varying") if missing else x
 
     if vma:
-        pix, soff, xf, yf, val = (to_vma(x) for x in (pix, soff, xf, yf, val))
+        pix, soff, xf, yf = (to_vma(x) for x in (pix, soff, xf, yf))
     out_r, out_g, out_b = pl.pallas_call(
         kernel,
         grid=(rows // _SUB,),
-        in_specs=[smem] * 14 + [blk, blk, blk, blk, blk],
-        out_specs=(blk, blk, blk),
+        in_specs=[smem] * 14 + [blk3, blk2, blk3, blk3],
+        out_specs=(blk3, blk3, blk3),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma)
+            jax.ShapeDtypeStruct((n_banks, rows, _LANE), jnp.float32, vma=vma)
             for _ in range(3)
         ),
         cost_estimate=pl.CostEstimate(
-            flops=40 * p_pad * s * int(n_samples) * 4,
-            bytes_accessed=8 * p_pad,
-            transcendentals=16 * p_pad * int(n_samples) * 4,
+            flops=40 * lanes_pad * n_banks * s * int(n_samples),
+            bytes_accessed=16 * lanes_pad * n_banks,
+            transcendentals=16 * lanes_pad * n_banks * int(n_samples),
         ),
         interpret=interpret,
-    )(*scene_tables, sky6, cam19, jnp.asarray(key2, jnp.uint32), pix, soff, xf, yf, val)
-    stack = jnp.stack(
-        [out_r.reshape(-1)[:p], out_g.reshape(-1)[:p], out_b.reshape(-1)[:p]],
-        axis=-1,
-    )
-    return stack
+    )(*scene_tables, sky6, cam19, jnp.asarray(key2, jnp.uint32), pix, soff, xf, yf)
+    # Undo the banked layout: position k*n_lanes + l -> [k, l].
+    def unbank(o):
+        return o.reshape(n_banks, lanes_pad)[:, :n_lanes].reshape(-1)[:p]
+
+    return jnp.stack([unbank(out_r), unbank(out_g), unbank(out_b)], axis=-1)
 
 
 def camera_constants(cam, width, height):
