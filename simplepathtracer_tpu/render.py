@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from .camera import generate_rays
-from .ops.intersect import intersect_scene, intersect_scene_pallas
+from .ops.intersect import intersect_scene
 from .ops.materials import scatter, sky_color
 from .ops.sampling import bounce_noise, camera_jitter, ray_keys
 from .types import Camera, RenderConfig, RenderState, Scene
@@ -167,7 +167,6 @@ def _soft_silhouette_blend(origins, dirs, rad, scene: Scene, config: RenderConfi
     d w / d center.  Enabled only during inverse rendering
     (config.silhouette_softness > 0); forward renders keep hard edges.
     """
-    from .ops.intersect import intersect_scene
 
     hit = intersect_scene(origins, dirs, scene, config.t_min, config.t_max)
     c = scene.centers[hit.index]
