@@ -22,7 +22,7 @@ sys.path.insert(0, REPO)
 
 WIDTH, HEIGHT, DEPTH = 1200, 800, 10
 WARMUP_SPP = 4
-BENCH_SPP = 32
+BENCH_SPP = 100
 
 
 def cpu_baseline_paths_per_sec():
