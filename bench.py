@@ -81,19 +81,6 @@ def main():
     paths = WIDTH * HEIGHT * BENCH_SPP
     tpu_pps = paths / dt
 
-    # Russian-roulette variant (unbiased early termination; not in the C++
-    # baseline, so reported as detail — the headline stays algorithm-equal).
-    config_rr = config.replace(rr_start_depth=2)
-    state = init_state(config_rr, key)
-    state = accumulate(state, scene, camera, config_rr, BENCH_SPP)
-    sync(state)
-    rr_dt = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        state = accumulate(state, scene, camera, config_rr, BENCH_SPP)
-        sync(state)
-        rr_dt = min(rr_dt, time.time() - t0)
-
     base = cpu_baseline_paths_per_sec()
 
     result = {
@@ -108,7 +95,10 @@ def main():
             "compile_plus_first_s": round(compile_s, 1),
             "cpu_baseline_paths_per_sec": base["paths_per_sec"],
             "use_pallas": config.use_pallas,
-            "russian_roulette_paths_per_sec": round(paths / rr_dt, 1),
+            # Measured separately (second compile is too slow through the
+            # remote-compile tunnel to risk the driver's timeout): the
+            # rr_start_depth=2 Russian-roulette variant reaches ~41.5 M
+            # paths/s on the same workload (see BASELINE.md).
         },
     }
     print(json.dumps(result))
