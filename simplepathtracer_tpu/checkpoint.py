@@ -22,20 +22,24 @@ import tempfile
 import jax.numpy as jnp
 import numpy as np
 
-from .types import RenderConfig, RenderState, Scene
+from .types import Camera, RenderConfig, RenderState, Scene
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 
 _SCENE_FIELDS = (
     "centers", "radii", "albedo", "material", "fuzz", "ior", "sky_lo", "sky_hi"
 )
+_CAMERA_FIELDS = ("origin", "lookat", "vup", "vfov_deg", "aperture", "focus_dist")
 _CONFIG_FIELDS = (
     "width", "height", "spp", "max_depth", "t_min", "t_max", "gamma",
     "spp_chunk", "use_pallas", "pallas_interpret", "rng_impl",
 )
 
 
-def save(path: str, state: RenderState, scene: Scene, config: RenderConfig) -> str:
+def save(
+    path: str, state: RenderState, scene: Scene, config: RenderConfig,
+    camera: Camera | None = None,
+) -> str:
     """Atomically write a snapshot (temp file + rename)."""
     payload = {
         "version": np.int64(_FORMAT_VERSION),
@@ -49,6 +53,9 @@ def save(path: str, state: RenderState, scene: Scene, config: RenderConfig) -> s
     }
     for f in _SCENE_FIELDS:
         payload[f"scene_{f}"] = np.asarray(getattr(scene, f))
+    if camera is not None:
+        for f in _CAMERA_FIELDS:
+            payload[f"camera_{f}"] = np.asarray(getattr(camera, f))
     d = os.path.dirname(os.path.abspath(path)) or "."
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
@@ -64,10 +71,12 @@ def save(path: str, state: RenderState, scene: Scene, config: RenderConfig) -> s
 
 
 def load(path: str):
-    """Read a snapshot -> (RenderState, Scene, RenderConfig)."""
+    """Read a snapshot -> (RenderState, Scene, RenderConfig, Camera | None).
+
+    The camera is None for snapshots written without one (format v1)."""
     with np.load(path) as z:
         version = int(z["version"])
-        assert version == _FORMAT_VERSION, f"unknown snapshot version {version}"
+        assert version in (1, _FORMAT_VERSION), f"unknown snapshot version {version}"
         cfg = json.loads(bytes(z["config_json"].tobytes()).decode())
         config = RenderConfig(**cfg)
         state = RenderState(
@@ -76,4 +85,9 @@ def load(path: str):
             next_key=jnp.asarray(z["next_key"]),
         )
         scene = Scene(**{f: jnp.asarray(z[f"scene_{f}"]) for f in _SCENE_FIELDS})
-    return state, scene, config
+        camera = None
+        if f"camera_{_CAMERA_FIELDS[0]}" in z:
+            camera = Camera(
+                **{f: jnp.asarray(z[f"camera_{f}"]) for f in _CAMERA_FIELDS}
+            )
+    return state, scene, config, camera

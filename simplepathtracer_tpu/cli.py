@@ -46,9 +46,10 @@ def cmd_render(args) -> int:
     key = jax.random.PRNGKey(args.seed)
 
     if args.resume:
-        state, scene, config = checkpoint.load(args.resume)
+        state, scene, config, camera = checkpoint.load(args.resume)
         config = _apply_overrides(config, args)
-        camera = PRESETS[args.preset].camera_fn()
+        if camera is None:  # v1 snapshot without a camera: fall back to preset
+            camera = PRESETS[args.preset].camera_fn()
         done = int(state.sample_count)
         meter.emit({"phase": "resume", "from": args.resume, "samples_done": done})
     else:
@@ -71,7 +72,7 @@ def cmd_render(args) -> int:
                 np.asarray(state.sample_count)  # sync through the tunnel
             done += n
             if args.snapshot:
-                checkpoint.save(args.snapshot, state, scene, config)
+                checkpoint.save(args.snapshot, state, scene, config, camera)
                 meter.emit({"phase": "snapshot", "path": args.snapshot, "spp": done})
             if args.preview:
                 io.save_image(args.preview, np.asarray(state.image(config.gamma)))

@@ -22,11 +22,12 @@ def test_roundtrip_and_bit_identical_resume(tmp_path):
     # Interrupted: 3 spp, snapshot, "crash", load, continue 5 spp.
     s_half = spt.accumulate(spt.init_state(cfg, key), scene, cam, cfg, 3)
     p = str(tmp_path / "snap.npz")
-    checkpoint.save(p, s_half, scene, cfg)
+    checkpoint.save(p, s_half, scene, cfg, cam)
     assert os.path.exists(p)
 
-    s_loaded, scene_l, cfg_l = checkpoint.load(p)
+    s_loaded, scene_l, cfg_l, cam_l = checkpoint.load(p)
     assert cfg_l == cfg
+    np.testing.assert_array_equal(np.asarray(cam_l.origin), np.asarray(cam.origin))
     np.testing.assert_array_equal(np.asarray(s_loaded.accum), np.asarray(s_half.accum))
     np.testing.assert_array_equal(
         np.asarray(scene_l.centers), np.asarray(scene.centers)
@@ -55,5 +56,6 @@ def test_atomic_overwrite(tmp_path):
     p = str(tmp_path / "snap.npz")
     checkpoint.save(p, s, scene, cfg)
     checkpoint.save(p, s, scene, cfg)  # overwrite in place must not corrupt
-    s2, _, _ = checkpoint.load(p)
+    s2, _, _, cam2 = checkpoint.load(p)
+    assert cam2 is None  # saved without a camera
     np.testing.assert_array_equal(np.asarray(s.accum), np.asarray(s2.accum))
