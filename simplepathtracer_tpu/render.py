@@ -117,7 +117,15 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
 
     def bounce(carry, b):
         o, d, tp, rad, alive = carry
-        hit = intersect_scene(o, d, scene, config.t_min, config.t_max)
+        if config.use_pallas_hits:
+            from .ops.intersect import intersect_scene_pallas
+
+            hit = intersect_scene_pallas(
+                o, d, alive, scene, config.t_min, config.t_max,
+                interpret=config.pallas_interpret,
+            )
+        else:
+            hit = intersect_scene(o, d, scene, config.t_min, config.t_max)
         unif = bounce_noise(keys, b)
 
         # Miss shader: sky gradient, terminal (SingleThreadPathTracer.hpp:11-19).

@@ -145,8 +145,12 @@ class RenderConfig:
     t_max: float = 3.0e7
     gamma: float = 2.0           # reference gamma (include/IOHelpers.hpp:19: sqrt)
     spp_chunk: int = 0           # 0 => all spp in one pass; else scan over chunks
-    use_pallas: bool = False     # use the Pallas fused intersect kernel
-    pallas_interpret: bool = False  # run the kernel interpreted (CPU tests)
+    use_pallas: bool = False     # forward fast path: Pallas megakernels
+    # Gradient-compatible acceleration: closest-hit argmin via the Pallas
+    # kernel (detached) + differentiable [N]-sized hit reconstruction, so
+    # value_and_grad skips the [rays, spheres] matmul work entirely.
+    use_pallas_hits: bool = False
+    pallas_interpret: bool = False  # run the kernels interpreted (CPU tests)
     # Soft-silhouette blend width for the first bounce (0 = hard edges).
     # Used by inverse rendering to recover geometry gradients at visibility
     # boundaries, which the detached hit selection otherwise drops.
