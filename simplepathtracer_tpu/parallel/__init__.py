@@ -4,6 +4,11 @@ TPU-native replacement for the reference's tile-scheduler thread pool
 (include/Renderer.hpp:257-302) — see sharding.py.
 """
 
+from .distributed import (  # noqa: F401
+    initialize_cluster,
+    local_tile_slice,
+    make_multihost_mesh,
+)
 from .sharding import (  # noqa: F401
     loss_and_grad_sharded,
     make_mesh,
