@@ -47,6 +47,8 @@ def main():
     from simplepathtracer_tpu.render import accumulate, init_state
 
     scene = spt.cover_scene(jax.random.PRNGKey(0), max_spheres=512)
+    from simplepathtracer_tpu.scenes import compact_scene
+    scene = compact_scene(scene)
     camera = spt.make_camera(
         origin=(13.0, 2.0, 3.0), lookat=(0.0, 0.0, 0.0), vfov_deg=20.0,
         aperture=0.1, focus_dist=10.0,
@@ -89,7 +91,7 @@ def main():
         "unit": "paths/s",
         "vs_baseline": round(tpu_pps / base["paths_per_sec"], 3),
         "detail": {
-            "config": f"{WIDTH}x{HEIGHT}@{BENCH_SPP}spp depth={DEPTH} spheres=512",
+            "config": f"{WIDTH}x{HEIGHT}@{BENCH_SPP}spp depth={DEPTH} spheres={scene.num_spheres}",
             "device": str(jax.devices()[0]),
             "elapsed_s": round(dt, 3),
             "compile_plus_first_s": round(compile_s, 1),

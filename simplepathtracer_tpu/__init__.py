@@ -10,6 +10,7 @@ differentiability w.r.t. scene parameters, and multi-chip scaling via
 from .types import Camera, Material, RenderConfig, RenderState, Scene, make_camera
 from .scenes import (
     SCENES,
+    compact_scene,
     cover_scene,
     random_scene,
     reference_scene,
@@ -29,6 +30,7 @@ __all__ = [
     "Scene",
     "make_camera",
     "SCENES",
+    "compact_scene",
     "cover_scene",
     "random_scene",
     "reference_scene",

@@ -51,7 +51,7 @@ PRESETS = {
     "cover": Preset(
         name="cover",
         description="Shirley cover scene (~490 spheres), 1200x800 @ 100spp, defocus",
-        scene_fn=lambda key: scenes.cover_scene(key, max_spheres=512),
+        scene_fn=lambda key: scenes.compact_scene(scenes.cover_scene(key, max_spheres=512)),
         camera_fn=lambda: make_camera(
             origin=(13, 2, 3), lookat=(0, 0, 0), vfov_deg=20,
             aperture=0.1, focus_dist=10.0,
@@ -71,7 +71,7 @@ PRESETS = {
     "random": Preset(
         name="random",
         description="The reference's randomized lattice scene (GenerateSpheres)",
-        scene_fn=lambda key: scenes.random_scene(key, max_spheres=512),
+        scene_fn=lambda key: scenes.compact_scene(scenes.random_scene(key, max_spheres=512)),
         camera_fn=lambda: make_camera(origin=(0, 4, -10), lookat=(0, 2, 5), vfov_deg=60),
         config=RenderConfig(width=1440, height=1440, spp=100, max_depth=10,
                             spp_chunk=0, use_pallas=True),
@@ -80,7 +80,7 @@ PRESETS = {
     "cover_multihost": Preset(
         name="cover_multihost",
         description="Cover scene 1200x800 @ 2000spp for sharded multi-chip runs",
-        scene_fn=lambda key: scenes.cover_scene(key, max_spheres=512),
+        scene_fn=lambda key: scenes.compact_scene(scenes.cover_scene(key, max_spheres=512)),
         camera_fn=lambda: make_camera(
             origin=(13, 2, 3), lookat=(0, 0, 0), vfov_deg=20,
             aperture=0.1, focus_dist=10.0,

@@ -301,6 +301,33 @@ def cover_scene(key, max_spheres: int = 512) -> Scene:
     )
 
 
+def compact_scene(scene: Scene, pad_multiple: int = 4) -> Scene:
+    """Drop dead padding slots (host-side, eager arrays only).
+
+    Random scene generators keep a static sphere budget and mask rejected
+    slots as unhittable dead spheres (tiny radius far below the ground).
+    The Pallas scan is O(total slots), so trimming the ~5% dead slots is
+    free throughput.  The live set is unchanged, so the image is identical
+    up to argmin tie order.  Pads the live count up to ``pad_multiple``
+    (the kernel's scan unroll) with one repeated dead slot.
+    """
+    radii = np.asarray(scene.radii)
+    centers = np.asarray(scene.centers)
+    live = (np.abs(radii) > 1e-3) & (centers[:, 1] > -1e6)
+    order = np.argsort(~live, kind="stable")  # live first, original order
+    n_live = int(live.sum())
+    n_keep = -(-max(n_live, 1) // pad_multiple) * pad_multiple
+    keep = order[:n_keep]
+    return scene.replace(
+        centers=jnp.asarray(centers[keep]),
+        radii=jnp.asarray(radii[keep]),
+        albedo=jnp.asarray(np.asarray(scene.albedo)[keep]),
+        material=jnp.asarray(np.asarray(scene.material)[keep]),
+        fuzz=jnp.asarray(np.asarray(scene.fuzz)[keep]),
+        ior=jnp.asarray(np.asarray(scene.ior)[keep]),
+    )
+
+
 SCENES = {
     "simple": lambda key=None, **kw: simple_scene(),
     "three_sphere": lambda key=None, **kw: three_sphere_scene(**kw),

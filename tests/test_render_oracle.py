@@ -94,3 +94,15 @@ def test_spp_chunking_invariance():
         )
     )
     np.testing.assert_allclose(img_full, img_chunk, rtol=1e-5, atol=1e-5)
+
+
+def test_compact_scene_image_identical():
+    # Trimming dead padding slots must not change a single pixel.
+    scene = spt.cover_scene(jax.random.PRNGKey(0), max_spheres=512)
+    compacted = spt.compact_scene(scene)
+    assert compacted.num_spheres < scene.num_spheres
+    cam = spt.make_camera(origin=(13, 2, 3), lookat=(0, 0, 0), vfov_deg=20)
+    cfg = spt.RenderConfig(width=32, height=16, spp=4, max_depth=5)
+    a = np.asarray(spt.render(scene, cam, cfg, jax.random.PRNGKey(1)))
+    b = np.asarray(spt.render(compacted, cam, cfg, jax.random.PRNGKey(1)))
+    np.testing.assert_array_equal(a, b)
