@@ -153,8 +153,15 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
         (origins, dirs, keys),
     )
     init = (origins, dirs, tp0, rad0, alive0)
+    # Remat policy: the full-jnp bounce materializes [rays, spheres]
+    # intersection intermediates, so its backward must rematerialize per
+    # bounce (jax.checkpoint) to stay memory-feasible (SURVEY.md S7 hard
+    # part 4).  With use_pallas_hits the residuals are all [rays]-sized
+    # (detached argmin + gather reconstruction), cheap enough to save —
+    # skipping remat halves the backward's recompute.
+    body = bounce if config.use_pallas_hits else jax.checkpoint(bounce)
     (o, d, tp, rad, alive), _ = jax.lax.scan(
-        jax.checkpoint(bounce), init, jnp.arange(config.max_depth, dtype=jnp.uint32)
+        body, init, jnp.arange(config.max_depth, dtype=jnp.uint32)
     )
     # Rays still alive after the bounce budget return black (Shirley), like
     # the wavefront tracer's dropped 10th-pass rays (TaskBasedPathTracer.hpp:81).
