@@ -101,7 +101,12 @@ def cmd_invert(args) -> int:
     # inverse.fit docstring for why both matter).
     softness = 0.05
     truth = three_sphere_scene(hollow_glass=False)
-    target = inverse.render_linear(
+    # Hard-edge target for the albedo phase; soft-edge target for the
+    # geometry phase (soft-to-soft objective, see inverse.fit docstring).
+    target_hard = inverse.render_linear(
+        truth, camera, config, jax.random.fold_in(key, 999)
+    )
+    target_soft = inverse.render_linear(
         truth, camera, config.replace(silhouette_softness=softness),
         jax.random.fold_in(key, 999),
     )
@@ -113,15 +118,27 @@ def cmd_invert(args) -> int:
     )
     mask = {"centers": jnp.zeros_like(truth.centers).at[1:].set(1.0)}
 
-    def cb(i, loss, params):
-        if i % 10 == 0:
-            meter.emit({"phase": "invert", "step": i, "loss": loss})
+    def cb(phase):
+        def inner(i, loss, params):
+            if i % 10 == 0:
+                meter.emit({"phase": phase, "step": i, "loss": loss})
+        return inner
 
-    recovered, losses = inverse.fit(
-        perturbed, target, camera, config, key, steps=args.steps, lr=args.lr,
-        leaves=("centers", "albedo"), softness=softness, param_mask=mask,
-        callback=cb,
+    # Two-phase coordinate descent: materials first, then geometry with
+    # soft silhouettes — jointly fitting both lets Monte-Carlo gradient
+    # noise walk the geometry while the albedo error dominates the loss.
+    s1 = max(args.steps // 2, 1)
+    stage1, losses1 = inverse.fit(
+        perturbed, target_hard, camera, config, key, steps=s1, lr=args.lr,
+        leaves=("albedo",), callback=cb("invert_albedo"),
     )
+    recovered, losses2 = inverse.fit(
+        stage1, target_soft, camera, config, jax.random.fold_in(key, 1),
+        steps=args.steps - s1, lr=min(args.lr, 1e-2),
+        leaves=("centers",), softness=softness, param_mask=mask,
+        callback=cb("invert_centers"),
+    )
+    losses = losses1 + losses2
     meter.emit({
         "phase": "invert_done",
         "loss_first": losses[0], "loss_last": losses[-1],

@@ -101,6 +101,15 @@ def fit(
     opt_state = opt.init(params)
     if softness and any(k in leaves for k in ("centers", "radii")):
         config = config.replace(silhouette_softness=float(softness))
+    # On TPU, accelerate gradients with the detached Pallas closest-hit
+    # (~1.9x; values identical — tests/test_inverse.py).  CPU keeps the
+    # pure-jnp path (the kernel would need interpret mode there).
+    if (
+        not config.use_pallas_hits
+        and not config.pallas_interpret
+        and jax.default_backend() == "tpu"
+    ):
+        config = config.replace(use_pallas_hits=True)
 
     @jax.jit
     def step_fn(params, opt_state, step_key):
