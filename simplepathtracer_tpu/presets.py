@@ -37,7 +37,8 @@ PRESETS = {
         description="Single Lambertian sphere + ground, 200x100 @ 16spp depth 8",
         scene_fn=lambda key: scenes.simple_scene(),
         camera_fn=lambda: make_camera(origin=(0, 0, -1), lookat=(0, 0, 1), vfov_deg=90),
-        config=RenderConfig(width=200, height=100, spp=16, max_depth=8),
+        config=RenderConfig(width=200, height=100, spp=16, max_depth=8,
+                            use_pallas=True),
     ),
     # BASELINE.json configs[1]
     "three_sphere": Preset(
@@ -45,7 +46,8 @@ PRESETS = {
         description="Lambertian/metal/hollow-glass trio, 400x200 @ 64spp",
         scene_fn=lambda key: scenes.three_sphere_scene(hollow_glass=True),
         camera_fn=lambda: make_camera(origin=(0, 0, -1), lookat=(0, 0, 1), vfov_deg=90),
-        config=RenderConfig(width=400, height=200, spp=64, max_depth=10),
+        config=RenderConfig(width=400, height=200, spp=64, max_depth=10,
+                            use_pallas=True),
     ),
     # BASELINE.json configs[2]
     "cover": Preset(
