@@ -1,12 +1,21 @@
 """Benchmark harness: one JSON line for the driver.
 
-Headline metric (BASELINE.json config 3): path throughput on the Shirley
-cover scene (~485 live spheres, 512 static slots), 1200x800, depth 10, on
-one TPU chip.  ``vs_baseline`` compares against the reference-semantics C++
+Emits the three north-star numbers (BASELINE.json):
+  * fwd       — forward path throughput, cover scene, no Russian roulette
+  * fwd_rr    — forward with rr_start_depth=2 (unbiased early termination)
+  * fwd_bwd   — value_and_grad of the pixel MSE (the "training step" rate)
+
+Headline metric/value stays the no-RR forward for round-over-round
+comparability; the other two ride in detail.metrics with their own
+vs_baseline.  ``vs_baseline`` compares against the reference-semantics C++
 CPU tracer (native/cpu_baseline — clean-room reimplementation of
 ilia-glushchenko/SimplePathTracer's recursive tracer + <=4-thread tile pool,
 measured on this host) since the reference publishes no numbers
 (SURVEY.md S6).
+
+Timing discipline (CLAUDE.md): never one-shot absolute timings through the
+remote-TPU tunnel — time the best of two identical cache-hit calls and
+synchronize on a 1-pixel slice.
 """
 
 import json
@@ -23,6 +32,7 @@ sys.path.insert(0, REPO)
 WIDTH, HEIGHT, DEPTH = 1200, 800, 10
 WARMUP_SPP = 4
 BENCH_SPP = 100
+GRAD_SPP = 4
 
 
 def cpu_baseline_paths_per_sec():
@@ -40,15 +50,63 @@ def cpu_baseline_paths_per_sec():
     return json.loads(out.strip().splitlines()[-1])
 
 
+def _bench_forward(spt, accumulate, init_state, scene, camera, config, key, spp):
+    """(steady-state seconds, compile+first seconds) for one accumulate."""
+
+    def sync(st):
+        return np.asarray(st.accum[:1, :1])
+
+    state = init_state(config, key)
+    t0 = time.time()
+    state = accumulate(state, scene, camera, config, spp)
+    sync(state)
+    compile_s = time.time() - t0
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        state = accumulate(state, scene, camera, config, spp)
+        sync(state)
+        dt = min(dt, time.time() - t0)
+    return dt, compile_s
+
+
+def _bench_grad(spt, scene, camera, config, key, spp):
+    """Steady-state seconds for one jitted value_and_grad of the pixel MSE."""
+    import jax
+    import jax.numpy as jnp
+
+    from simplepathtracer_tpu import inverse
+    from simplepathtracer_tpu.render import grad_safe_config
+
+    gcfg = grad_safe_config(config).replace(spp=spp, rr_start_depth=0)
+    params, static_scene = inverse.split_params(scene)
+    target = jnp.zeros((gcfg.height, gcfg.width, 3), jnp.float32)
+    vg = jax.jit(jax.value_and_grad(inverse.pixel_loss), static_argnames=("config",))
+
+    def run():
+        loss, grads = vg(params, static_scene, target, camera, gcfg, key)
+        np.asarray(loss)  # sync (scalar fetch is cheap)
+        return loss
+
+    t0 = time.time()
+    run()
+    compile_s = time.time() - t0
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        run()
+        dt = min(dt, time.time() - t0)
+    return dt, compile_s
+
+
 def main():
     import jax
 
     import simplepathtracer_tpu as spt
     from simplepathtracer_tpu.render import accumulate, init_state
-
-    scene = spt.cover_scene(jax.random.PRNGKey(0), max_spheres=512)
     from simplepathtracer_tpu.scenes import compact_scene
-    scene = compact_scene(scene)
+
+    scene = compact_scene(spt.cover_scene(jax.random.PRNGKey(0), max_spheres=512))
     camera = spt.make_camera(
         origin=(13.0, 2.0, 3.0), lookat=(0.0, 0.0, 0.0), vfov_deg=20.0,
         aperture=0.1, focus_dist=10.0,
@@ -58,49 +116,57 @@ def main():
         use_pallas=True,
     )
     key = jax.random.PRNGKey(0)
-
-    # Warmup / compile (accumulate is jit-cached per (config, n_samples)).
-    # Synchronize on a tiny slice: full-image device->host fetches crawl at
-    # ~1 MB/s through the remote-TPU tunnel and would dominate the timing.
-    def sync(st):
-        return np.asarray(st.accum[:1, :1])
-
-    state = init_state(config, key)
-    t0 = time.time()
-    state = accumulate(state, scene, camera, config, BENCH_SPP)
-    sync(state)
-    compile_s = time.time() - t0
-
-    # Steady state: best of two identical (cache-hit) calls.
-    dt = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        state = accumulate(state, scene, camera, config, BENCH_SPP)
-        sync(state)
-        dt = min(dt, time.time() - t0)
-    warm_dt = dt
-
-    paths = WIDTH * HEIGHT * BENCH_SPP
-    tpu_pps = paths / dt
-
     base = cpu_baseline_paths_per_sec()
+    base_pps = base["paths_per_sec"]
+
+    fwd_dt, fwd_compile = _bench_forward(
+        spt, accumulate, init_state, scene, camera, config, key, BENCH_SPP
+    )
+    fwd_pps = WIDTH * HEIGHT * BENCH_SPP / fwd_dt
+
+    rr_dt, rr_compile = _bench_forward(
+        spt, accumulate, init_state, scene, camera,
+        config.replace(rr_start_depth=2), key, BENCH_SPP,
+    )
+    rr_pps = WIDTH * HEIGHT * BENCH_SPP / rr_dt
+
+    grad_dt, grad_compile = _bench_grad(spt, scene, camera, config, key, GRAD_SPP)
+    grad_pps = WIDTH * HEIGHT * GRAD_SPP / grad_dt
 
     result = {
         "metric": "cover_scene_paths_per_sec_1chip",
-        "value": round(tpu_pps, 1),
+        "value": round(fwd_pps, 1),
         "unit": "paths/s",
-        "vs_baseline": round(tpu_pps / base["paths_per_sec"], 3),
+        "vs_baseline": round(fwd_pps / base_pps, 3),
         "detail": {
             "config": f"{WIDTH}x{HEIGHT}@{BENCH_SPP}spp depth={DEPTH} spheres={scene.num_spheres}",
             "device": str(jax.devices()[0]),
-            "elapsed_s": round(dt, 3),
-            "compile_plus_first_s": round(compile_s, 1),
-            "cpu_baseline_paths_per_sec": base["paths_per_sec"],
-            "use_pallas": config.use_pallas,
-            # Measured separately (second compile is too slow through the
-            # remote-compile tunnel to risk the driver's timeout): the
-            # rr_start_depth=2 Russian-roulette variant reaches ~41.5 M
-            # paths/s on the same workload (see BASELINE.md).
+            "cpu_baseline_paths_per_sec": base_pps,
+            "metrics": [
+                {
+                    "name": "fwd_paths_per_sec",
+                    "value": round(fwd_pps, 1),
+                    "vs_baseline": round(fwd_pps / base_pps, 3),
+                    "elapsed_s": round(fwd_dt, 3),
+                    "compile_plus_first_s": round(fwd_compile, 1),
+                },
+                {
+                    "name": "fwd_rr_paths_per_sec",
+                    "value": round(rr_pps, 1),
+                    "vs_baseline": round(rr_pps / base_pps, 3),
+                    "elapsed_s": round(rr_dt, 3),
+                    "compile_plus_first_s": round(rr_compile, 1),
+                    "rr_start_depth": 2,
+                },
+                {
+                    "name": "fwd_bwd_paths_per_sec",
+                    "value": round(grad_pps, 1),
+                    "vs_baseline": round(grad_pps / base_pps, 3),
+                    "elapsed_s": round(grad_dt, 3),
+                    "compile_plus_first_s": round(grad_compile, 1),
+                    "spp": GRAD_SPP,
+                },
+            ],
         },
     }
     print(json.dumps(result))

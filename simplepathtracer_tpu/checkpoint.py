@@ -15,6 +15,7 @@ ever outgrow one host's memory).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import tempfile
@@ -24,16 +25,12 @@ import numpy as np
 
 from .types import Camera, RenderConfig, RenderState, Scene
 
-_FORMAT_VERSION = 2
+_FORMAT_VERSION = 3
 
 _SCENE_FIELDS = (
     "centers", "radii", "albedo", "material", "fuzz", "ior", "sky_lo", "sky_hi"
 )
 _CAMERA_FIELDS = ("origin", "lookat", "vup", "vfov_deg", "aperture", "focus_dist")
-_CONFIG_FIELDS = (
-    "width", "height", "spp", "max_depth", "t_min", "t_max", "gamma",
-    "spp_chunk", "use_pallas", "pallas_interpret", "rng_impl",
-)
 
 
 def save(
@@ -46,9 +43,12 @@ def save(
         "accum": np.asarray(state.accum, np.float32),
         "sample_count": np.asarray(state.sample_count, np.int64),
         "next_key": np.asarray(state.next_key),
+        # The FULL config dataclass (v3+): earlier versions hand-listed the
+        # fields and silently dropped rr_start_depth / use_pallas_hits /
+        # silhouette_softness, so resuming an RR render continued without RR
+        # — breaking bit-identical resume exactly for the headline RR config.
         "config_json": np.frombuffer(
-            json.dumps({k: getattr(config, k) for k in _CONFIG_FIELDS}).encode(),
-            np.uint8,
+            json.dumps(dataclasses.asdict(config)).encode(), np.uint8
         ),
     }
     for f in _SCENE_FIELDS:
@@ -76,9 +76,12 @@ def load(path: str):
     The camera is None for snapshots written without one (format v1)."""
     with np.load(path) as z:
         version = int(z["version"])
-        assert version in (1, _FORMAT_VERSION), f"unknown snapshot version {version}"
+        assert 1 <= version <= _FORMAT_VERSION, f"unknown snapshot version {version}"
         cfg = json.loads(bytes(z["config_json"].tobytes()).decode())
-        config = RenderConfig(**cfg)
+        # Forward/backward compatible: ignore fields RenderConfig no longer
+        # has; fields a v1/v2 snapshot lacks take their defaults.
+        known = {f.name for f in dataclasses.fields(RenderConfig)}
+        config = RenderConfig(**{k: v for k, v in cfg.items() if k in known})
         state = RenderState(
             accum=jnp.asarray(z["accum"]),
             sample_count=jnp.asarray(z["sample_count"], jnp.int32),

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from .render import render_sample_batch
+from .render import grad_safe_config, render_sample_batch
 from .types import Camera, RenderConfig, Scene
 
 # Leaves that receive gradients (same set as parallel/sharding.py).
@@ -46,7 +46,12 @@ def render_linear(scene, camera, config, key):
 
 
 def pixel_loss(params, static_scene, target, camera, config, key, leaves=DIFF_LEAVES):
-    """Mean squared error in linear radiance."""
+    """Mean squared error in linear radiance.
+
+    Always differentiable: ``grad_safe_config`` swaps a forward-only
+    ``use_pallas`` preset for the jnp bounce (+ Pallas closest-hit on TPU).
+    """
+    config = grad_safe_config(config)
     scene = merge_params(params, static_scene)
     img = render_linear(scene, camera, config, key)
     return jnp.mean((img - target) ** 2)
@@ -101,9 +106,11 @@ def fit(
     opt_state = opt.init(params)
     if softness and any(k in leaves for k in ("centers", "radii")):
         config = config.replace(silhouette_softness=float(softness))
-    # On TPU, accelerate gradients with the detached Pallas closest-hit
+    # Forward-only Pallas presets downgrade to the differentiable path; on
+    # TPU, accelerate gradients with the detached Pallas closest-hit
     # (~1.9x; values identical — tests/test_inverse.py).  CPU keeps the
     # pure-jnp path (the kernel would need interpret mode there).
+    config = grad_safe_config(config)
     if (
         not config.use_pallas_hits
         and not config.pallas_interpret

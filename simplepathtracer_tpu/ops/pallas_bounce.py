@@ -63,7 +63,7 @@ def _bounce_kernel(
     # outputs
     n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
     n_tr, n_tg, n_tb, n_rr, n_rg, n_rb, n_alive,
-    *, n_spheres: int, t_min: float, t_max: float,
+    *, n_spheres: int, t_min: float, t_max: float, rr_start_depth: int = 0,
 ):
     tables = (
         cx_ref, cy_ref, cz_ref, rad_ref, r2_ref,
@@ -112,19 +112,36 @@ def _bounce_kernel(
         surv = live & scattered
         sf = jnp.where(surv, 1.0, 0.0)
         lf = jnp.where(live, 1.0, 0.0)
-        n_tr[:] = tr * jnp.where(surv, atr, 1.0)
-        n_tg[:] = tg * jnp.where(surv, atg, 1.0)
-        n_tb[:] = tb * jnp.where(surv, atb, 1.0)
+        ntr = tr * jnp.where(surv, atr, 1.0)
+        ntg = tg * jnp.where(surv, atg, 1.0)
+        ntb = tb * jnp.where(surv, atb, 1.0)
+        # Directions update with the pre-RR survival mask — exactly like the
+        # jnp bounce (render.py), where RR only rewrites `surviving`/tp after
+        # d has been selected (dead rays' directions are never read again).
         n_ox[:] = ox + (px - ox) * lf
         n_oy[:] = oy + (py - oy) * lf
         n_oz[:] = oz + (pz - oz) * lf
         n_dx[:] = dx + (sdx - dx) * sf
         n_dy[:] = dy + (sdy - dy) * sf
         n_dz[:] = dz + (sdz - dz) * sf
+        if rr_start_depth:
+            # Russian roulette: same q / u6 column / boost as the jnp bounce
+            # and the persistent kernel (unbiased early termination).
+            q = jnp.clip(jnp.maximum(jnp.maximum(ntr, ntg), ntb), 0.05, 1.0)
+            bt = jnp.full((_SUB, _LANE), bounce)
+            do_rr = bt >= jnp.uint32(rr_start_depth)
+            surv = surv & ~(do_rr & (u[6] >= q))
+            boost = jnp.where(do_rr & surv, 1.0 / q, 1.0)
+            ntr = ntr * boost
+            ntg = ntg * boost
+            ntb = ntb * boost
+        n_tr[:] = ntr
+        n_tg[:] = ntg
+        n_tb[:] = ntb
         n_rr[:] = rr
         n_rg[:] = rg
         n_rb[:] = rb
-        n_alive[:] = sf
+        n_alive[:] = jnp.where(surv, 1.0, 0.0)
 
     def skip():
         n_ox[:] = ox_ref[:]
@@ -146,9 +163,12 @@ def _bounce_kernel(
     jax.lax.cond(jnp.any(alive), do_bounce, skip)
 
 
-@functools.partial(jax.jit, static_argnames=("t_min", "t_max", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("t_min", "t_max", "rr_start_depth", "interpret")
+)
 def bounce_step_pallas(
-    state, scene_tables, sky6, meta3, t_min=1e-3, t_max=3.0e7, interpret=False
+    state, scene_tables, sky6, meta3, t_min=1e-3, t_max=3.0e7,
+    rr_start_depth=0, interpret=False,
 ):
     """One bounce on SoA ray state.
 
@@ -167,7 +187,8 @@ def bounce_step_pallas(
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     s = scene_tables[0].shape[0]
     kernel = functools.partial(
-        _bounce_kernel, n_spheres=s, t_min=float(t_min), t_max=float(t_max)
+        _bounce_kernel, n_spheres=s, t_min=float(t_min), t_max=float(t_max),
+        rr_start_depth=int(rr_start_depth),
     )
     vma = frozenset()
     for a in (*state, meta3, *scene_tables):

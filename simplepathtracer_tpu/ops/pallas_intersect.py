@@ -127,6 +127,13 @@ def closest_hit_pallas(
     ray_spec = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
+    # Under shard_map with check_vma the outputs must declare their varying
+    # mesh axes: inherit the union from the inputs (same pattern as the
+    # bounce/persistent kernels).
+    vma = frozenset()
+    for a in (origins, dirs, alive, centers, radii):
+        vma |= getattr(jax.typeof(a), "vma", frozenset())
+
     idx2d, t2d = pl.pallas_call(
         kernel,
         grid=grid,
@@ -136,8 +143,8 @@ def closest_hit_pallas(
             pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_pad // _LANE, _LANE), jnp.int32),
-            jax.ShapeDtypeStruct((n_pad // _LANE, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad // _LANE, _LANE), jnp.int32, vma=vma),
+            jax.ShapeDtypeStruct((n_pad // _LANE, _LANE), jnp.float32, vma=vma),
         ),
         cost_estimate=pl.CostEstimate(
             flops=22 * n_pad * s, bytes_accessed=(7 + 2) * 4 * n_pad + 4 * 4 * s,

@@ -22,6 +22,22 @@ from jax.sharding import Mesh
 from .sharding import make_mesh
 
 
+def _distributed_client_active() -> bool:
+    """Whether jax.distributed is already initialized.
+
+    Must NOT touch the XLA backend: calling jax.process_count()/jax.devices()
+    before jax.distributed.initialize() initializes the backend, after which
+    initialize() always raises.  The global_state client handle is the one
+    signal that answers the question without that side effect.
+    """
+    try:
+        from jax._src.distributed import global_state
+
+        return global_state.client is not None
+    except (ImportError, AttributeError):  # pragma: no cover - jax internals moved
+        return False
+
+
 def initialize_cluster(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
@@ -33,19 +49,35 @@ def initialize_cluster(
     JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID) — the
     standard pattern for TPU pod slices where every host runs the same
     binary.  Safe to call on single-host jobs (no-op if already initialized
-    or if only one process exists).
+    or if no coordinator is configured).
+
+    Call this BEFORE any jax API that touches devices; on a pod every host
+    must call it so ``jax.devices()`` becomes the global device list
+    (SURVEY.md S5 "Distributed communication backend").
     """
-    if jax.process_count() > 1:
+    if _distributed_client_active():
         return  # already initialized
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    except (ValueError, RuntimeError):
-        # Single-process run without coordinator env: fine, stay local.
-        pass
+    import os
+
+    env_configured = (
+        coordinator_address is not None
+        or "JAX_COORDINATOR_ADDRESS" in os.environ
+        or "JAX_NUM_PROCESSES" in os.environ
+        or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+        # NOTE: TPU_WORKER_HOSTNAMES is deliberately NOT a signal — TPU VMs
+        # (including single-host ones, and this image's tunnel) set it
+        # unconditionally; explicit coordinator config is the opt-in.
+    )
+    if not env_configured:
+        # Single-process run without a coordinator: stay local.  (Silently
+        # swallowing initialize() errors here would mask real cluster
+        # misconfiguration on pods, so we gate on config presence instead.)
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def make_multihost_mesh(samples_per_host: int = 1) -> Mesh:

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..render import render_pixel_block
+from ..render import grad_safe_config, render_pixel_block
 from ..types import Camera, RenderConfig, Scene
 
 # jax>=0.6 exposes shard_map at top level; keep a fallback for older trees.
@@ -139,7 +139,13 @@ def loss_and_grad_sharded(
     gradients from every (tile, sample) shard are combined with a single
     fused ``psum`` over both mesh axes — the TPU-native form of gradient
     all-reduce (scene params are replicated, so this is pure ICI traffic).
+
+    The config is downgraded via ``grad_safe_config``: the forward-only
+    persistent Pallas kernel cannot be differentiated, so presets with
+    ``use_pallas=True`` switch to the jnp bounce (+ detached Pallas
+    closest-hit on TPU) here instead of crashing inside shard_map.
     """
+    config = grad_safe_config(config)
     p_local, s_local = _block_sizes(config, mesh)
     p_total = config.num_pixels
     inv_spp = 1.0 / config.spp
@@ -174,6 +180,11 @@ def loss_and_grad_sharded(
         mesh=mesh,
         in_specs=(P(), P(), P(), P("tiles")),
         out_specs=(P(), P()),
+        # The Pallas *interpreter* (CPU tests) evaluates the closest-hit
+        # kernel jaxpr without replaying implicit varying-axis casts and
+        # trips the checker; compiled TPU kernels lower to a custom call and
+        # keep full vma checking.
+        check_vma=not (config.use_pallas_hits and config.pallas_interpret),
     )
     target_flat = target.reshape(p_total, 3)
     return f(scene, camera, key, target_flat)

@@ -91,6 +91,7 @@ def trace_rays_pallas(origins, dirs, keys, scene: Scene, config: RenderConfig):
         out = bounce_step_pallas(
             st + (pix, samp), tables, sky6, meta,
             t_min=config.t_min, t_max=config.t_max,
+            rr_start_depth=config.rr_start_depth,
             interpret=config.pallas_interpret,
         )
         return tuple(out), None
@@ -102,6 +103,29 @@ def trace_rays_pallas(origins, dirs, keys, scene: Scene, config: RenderConfig):
     return jnp.stack(
         [rr.reshape(-1)[:n], rg.reshape(-1)[:n], rb.reshape(-1)[:n]], axis=-1
     )
+
+
+def grad_safe_config(config: RenderConfig) -> RenderConfig:
+    """Downgrade a config for use under ``jax.grad``.
+
+    The persistent/bounce Pallas kernels are forward-only (project
+    invariant: gradients use the jnp bounce), so every gradient entry point
+    must clear ``use_pallas``.  The TPU acceleration that IS
+    differentiable — the detached Pallas closest-hit with [N]-sized
+    reconstruction — is enabled in its place: a preset tuned for fast
+    forward rendering (use_pallas=True) keeps its speed intent on the
+    gradient path instead of crashing deep inside shard_map.
+    """
+    if not config.use_pallas:
+        return config
+    # The closest-hit kernel needs real TPU hardware (or interpret mode) —
+    # on CPU without interpret, fall back to the pure-jnp intersection.
+    use_hits = (
+        config.use_pallas_hits
+        or config.pallas_interpret
+        or jax.default_backend() == "tpu"
+    )
+    return config.replace(use_pallas=False, use_pallas_hits=use_hits)
 
 
 def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):

@@ -161,6 +161,18 @@ class RenderConfig:
     rr_start_depth: int = 0
     rng_impl: str = "threefry2x32"  # jax PRNG implementation
 
+    def __post_init__(self):
+        # The RNG slot map assigns bounce b the counter slots 4b..4b+3 and
+        # the camera jitter slots 124/125 (ops/sampling.py).  A deeper scan
+        # would silently reuse the camera slots for bounce randomness,
+        # correlating samples — fail loudly instead.
+        if self.max_depth > 30:
+            raise ValueError(
+                f"max_depth={self.max_depth} exceeds 30, the RNG slot-map "
+                "limit (bounce b uses slots 4b..4b+3; camera uses 124/125 — "
+                "see ops/sampling.py)"
+            )
+
     @property
     def num_pixels(self) -> int:
         return self.width * self.height
