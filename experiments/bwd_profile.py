@@ -22,7 +22,7 @@ import simplepathtracer_tpu as spt
 from simplepathtracer_tpu import inverse
 from simplepathtracer_tpu.render import grad_safe_config, render_sample_batch
 
-W, H, DEPTH, SPP = 1200, 800, 10, 2
+W, H, DEPTH, SPP = 1200, 800, 10, 1
 N = W * H * SPP
 
 
@@ -86,14 +86,17 @@ def render_paths():
 
     target = jnp.zeros((H, W, 3), jnp.float32)
     for leaves in (("albedo",), inverse.DIFF_LEAVES):
-        params = {k: getattr(scene, k) for k in leaves}
-        vg = jax.jit(
-            lambda p: jax.value_and_grad(inverse.pixel_loss)(
-                p, scene, target, cam, gcfg, key, tuple(p)
+        try:
+            params = {k: getattr(scene, k) for k in leaves}
+            vg = jax.jit(
+                lambda p: jax.value_and_grad(inverse.pixel_loss)(
+                    p, scene, target, cam, gcfg, key, tuple(p)
+                )
             )
-        )
-        dt, _ = timed(vg, params)
-        print(f"fwd+bwd leaves={len(leaves)}        : {dt*1e3:8.1f} ms  {paths/dt/1e6:6.2f} Mpaths/s")
+            dt, _ = timed(vg, params)
+            print(f"fwd+bwd leaves={len(leaves)}        : {dt*1e3:8.1f} ms  {paths/dt/1e6:6.2f} Mpaths/s")
+        except Exception as e:
+            print(f"fwd+bwd leaves={len(leaves)} FAILED: {type(e).__name__} {str(e)[:200]}")
 
 
 if __name__ == "__main__":
