@@ -1,0 +1,78 @@
+"""Worker for the 2-process jax.distributed localhost test.
+
+Run (by tests/test_multiprocess.py) as:
+    python tests/multiproc_worker.py <coordinator> <num_procs> <proc_id> <outdir>
+
+Each process owns 4 virtual CPU devices; the 2-process job federates them
+into a global 8-device ('tiles', 'samples') mesh.  Every process renders
+its shards of the sharded accumulation, then writes ONLY the pixel rows it
+owns (local_tile_slice) to <outdir>/part<proc_id>.npy; the parent stitches
+and compares against a single-process render.  This exercises
+initialize_cluster + the multi-controller SPMD path of
+render_accum_sharded end-to-end (SURVEY.md S4 item 4, second half).
+"""
+
+import os
+import sys
+
+
+def main():
+    coordinator, num_procs, proc_id, outdir = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=4"
+    ).strip()
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from simplepathtracer_tpu.parallel import initialize_cluster
+
+    initialize_cluster(
+        coordinator_address=coordinator, num_processes=num_procs, process_id=proc_id
+    )
+    assert jax.process_count() == num_procs, jax.process_count()
+    assert len(jax.devices()) == 4 * num_procs, jax.devices()
+
+    import numpy as np
+
+    import simplepathtracer_tpu as spt
+    from simplepathtracer_tpu.parallel import (
+        local_tile_slice,
+        make_mesh,
+        render_accum_sharded,
+    )
+
+    scene = spt.three_sphere_scene()
+    cam = spt.make_camera(origin=(0, 0, -1), lookat=(0, 0, 1), vfov_deg=60.0)
+    cfg = spt.RenderConfig(width=32, height=16, spp=8, max_depth=4)
+    key = jax.random.PRNGKey(7)
+
+    mesh = make_mesh(tiles=4, samples=2)  # tile shards span both hosts
+    acc = jax.jit(
+        lambda s, c, k: render_accum_sharded(s, c, cfg, k, mesh),
+    )(scene, cam, key)
+
+    start, size = local_tile_slice(mesh, cfg.num_pixels)
+    # Collect this process's addressable rows of the tile-sharded output.
+    local = np.zeros((size, 3), np.float32)
+    seen = np.zeros((size,), bool)
+    for shard in acc.addressable_shards:
+        (sl, _) = shard.index
+        lo = sl.start or 0
+        local[lo - start : lo - start + shard.data.shape[0]] = np.asarray(shard.data)
+        seen[lo - start : lo - start + shard.data.shape[0]] = True
+    assert seen.all(), "local tile slice does not cover all addressable shards"
+    np.save(os.path.join(outdir, f"part{proc_id}.npy"), local)
+    np.save(os.path.join(outdir, f"range{proc_id}.npy"), np.array([start, size]))
+    print(f"proc {proc_id}: rows [{start}, {start+size}) ok", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Two-process jax.distributed render on localhost (SURVEY.md S4 item 4).
+
+Spawns 2 fresh CPU processes (4 virtual devices each) that federate into
+one 8-device job via initialize_cluster, render the sharded accumulation
+over a ('tiles': 4, 'samples': 2) mesh spanning both processes, and each
+write the pixel rows local_tile_slice says they own.  The stitched image
+must equal the single-(test-)process sharded render — which the
+mesh-invariance tests already pin to the single-device render.
+"""
+
+import os
+import subprocess
+import sys
+import socket
+
+import jax
+import numpy as np
+import pytest
+
+import simplepathtracer_tpu as spt
+from simplepathtracer_tpu.parallel import make_mesh, render_accum_sharded
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_distributed_render(tmp_path):
+    port = _free_port()
+    coordinator = f"127.0.0.1:{port}"
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS")
+    }
+    env["PALLAS_AXON_POOL_IPS"] = ""  # no TPU tunnel in workers
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "multiproc_worker.py"),
+             coordinator, "2", str(i), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+
+    # Stitch the two halves.
+    cfg = spt.RenderConfig(width=32, height=16, spp=8, max_depth=4)
+    stitched = np.zeros((cfg.num_pixels, 3), np.float32)
+    covered = np.zeros((cfg.num_pixels,), bool)
+    for i in range(2):
+        start, size = np.load(tmp_path / f"range{i}.npy")
+        part = np.load(tmp_path / f"part{i}.npy")
+        assert part.shape == (size, 3)
+        stitched[start : start + size] = part
+        covered[start : start + size] = True
+    assert covered.all(), "tile slices do not cover the image"
+
+    # Single-process sharded reference on this test process's 8 fake devices.
+    scene = spt.three_sphere_scene()
+    cam = spt.make_camera(origin=(0, 0, -1), lookat=(0, 0, 1), vfov_deg=60.0)
+    key = jax.random.PRNGKey(7)
+    mesh = make_mesh(tiles=4, samples=2, devices=jax.devices()[:8])
+    expected = np.asarray(
+        jax.jit(lambda s, c, k: render_accum_sharded(s, c, cfg, k, mesh))(
+            scene, cam, key
+        )
+    )
+    np.testing.assert_allclose(stitched, expected, rtol=1e-6, atol=1e-6)
