@@ -102,6 +102,10 @@ def _bench_grad(spt, scene, camera, config, key, spp):
 def main():
     import jax
 
+    from simplepathtracer_tpu._cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import simplepathtracer_tpu as spt
     from simplepathtracer_tpu.render import accumulate, init_state
     from simplepathtracer_tpu.scenes import compact_scene

@@ -18,6 +18,10 @@ sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 
+from simplepathtracer_tpu._cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 import simplepathtracer_tpu as spt
 from simplepathtracer_tpu import inverse
 from simplepathtracer_tpu.render import grad_safe_config, render_sample_batch

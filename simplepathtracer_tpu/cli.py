@@ -59,6 +59,13 @@ def cmd_render(args) -> int:
         state = init_state(config, key)
         done = 0
 
+    server = None
+    if getattr(args, "http_preview", None) is not None:
+        from .preview import PreviewServer
+
+        server = PreviewServer(port=args.http_preview)
+        meter.emit({"phase": "preview", "url": f"http://localhost:{server.port}/"})
+
     total = config.spp
     chunk = args.snapshot_every or (total - done)
     with metrics.profiler_trace(args.trace):
@@ -74,8 +81,12 @@ def cmd_render(args) -> int:
             if args.snapshot:
                 checkpoint.save(args.snapshot, state, scene, config, camera)
                 meter.emit({"phase": "snapshot", "path": args.snapshot, "spp": done})
-            if args.preview:
-                io.save_image(args.preview, np.asarray(state.image(config.gamma)))
+            if args.preview or server is not None:
+                img = np.asarray(state.image(config.gamma))
+                if args.preview:
+                    io.save_image(args.preview, img)
+                if server is not None:
+                    server.update(img, status=f"{done}/{total} spp")
 
     out = args.output or io.default_filename(config)
     io.save_image(out, np.asarray(state.image(config.gamma)))
@@ -178,6 +189,11 @@ def main(argv=None) -> int:
     r.add_argument("--snapshot", default=None, help="snapshot file (.npz)")
     r.add_argument("--snapshot-every", type=int, default=None, metavar="SPP")
     r.add_argument("--preview", default=None, help="write partial image each chunk")
+    r.add_argument(
+        "--http-preview", dest="http_preview", type=int, default=None,
+        metavar="PORT", nargs="?", const=0,
+        help="serve a live progressive preview over HTTP (0 = random port)",
+    )
     r.add_argument("--resume", default=None, help="resume from snapshot")
     r.add_argument("--trace", default=None, help="jax.profiler trace dir")
     r.add_argument("-q", "--quiet", action="store_true")

@@ -58,10 +58,16 @@ def write_bmp(path: str, u8_image: np.ndarray) -> None:
         f.write(rows)
 
 
-def write_png(path: str, u8_image: np.ndarray) -> None:
-    """Minimal zlib PNG writer (no external deps)."""
-    img = np.asarray(u8_image)
-    assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
+def encode_png(image) -> bytes:
+    """Minimal zlib PNG encoder (no external deps) -> PNG byte string.
+
+    Accepts a float image in [0, 1] or a u8 image.  In-memory form serves
+    the HTTP live preview (preview.py) without touching disk.
+    """
+    img = np.asarray(image)
+    if img.dtype != np.uint8:
+        img = to_u8(img)
+    assert img.ndim == 3 and img.shape[2] == 3
     h, w, _ = img.shape
     raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
 
@@ -74,11 +80,18 @@ def write_png(path: str, u8_image: np.ndarray) -> None:
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def write_png(path: str, u8_image: np.ndarray) -> None:
+    """Minimal zlib PNG writer (no external deps)."""
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(chunk(b"IHDR", ihdr))
-        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
-        f.write(chunk(b"IEND", b""))
+        f.write(encode_png(u8_image))
 
 
 def read_bmp(path: str) -> np.ndarray:
