@@ -80,6 +80,13 @@ def _hit_from_index(origins, dirs, idx, scene, t_min, t_max) -> Hit:
     i = jnp.maximum(idx, 0)
     c = scene.centers[i]                 # [N,3]
     r = scene.radii[i]                   # [N]
+    return hit_from_gathered(origins, dirs, i, hit, c, r, t_min, t_max)
+
+
+def hit_from_gathered(origins, dirs, i, hit, c, r, t_min, t_max) -> Hit:
+    """_hit_from_index on pre-gathered (c [N,3], r [N]) winner attributes
+    (the gradient fast path fetches them via ops/table_gather.gather_rows
+    so the backward bucket-accumulates on the MXU instead of scattering)."""
     oc = c - origins
     tc = jnp.sum(oc * dirs, -1)
     disc = r * r - (jnp.sum(oc * oc, -1) - tc * tc)

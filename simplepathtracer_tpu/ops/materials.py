@@ -66,8 +66,17 @@ def scatter(dirs, hit, scene, unif):
     albedo = scene.albedo[hit.index]         # [N,3]
     fuzz = scene.fuzz[hit.index]             # [N]
     ior = scene.ior[hit.index]               # [N]
+    return scatter_attrs(dirs, hit.normal, mat, albedo, fuzz, ior, unif)
 
-    n = hit.normal
+
+def scatter_attrs(dirs, n, mat, albedo, fuzz, ior, unif):
+    """scatter() on pre-gathered per-ray attributes.
+
+    The gradient fast path fetches all float attributes through ONE fused
+    custom-VJP gather (ops/table_gather.py) so the backward does a single
+    MXU bucketing per bounce instead of several serialized scatter-adds;
+    this entry point consumes that pre-gathered view.
+    """
     # Face-forward normal: outward if the ray arrives from outside.
     front = jnp.sum(dirs * n, -1) < 0.0      # [N]
     n_face = jnp.where(front[:, None], n, -n)

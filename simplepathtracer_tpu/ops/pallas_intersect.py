@@ -36,6 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_common import closest_hit_scan
+
 # Block geometry: 8 sublanes x 128 lanes = 1024 rays per grid step (f32 tile).
 _SUB = 8
 _LANE = 128
@@ -156,3 +158,130 @@ def closest_hit_pallas(
         ox, oy, oz, dx, dy, dz, al,
     )
     return idx2d.reshape(-1)[:n], t2d.reshape(-1)[:n]
+
+
+def _closest_hit_attrs_kernel(
+    # SMEM scene tables (pallas_common.closest_hit_scan layout)
+    cx_ref, cy_ref, cz_ref, rad_ref, r2_ref,
+    albr_ref, albg_ref, albb_ref, mat_ref, fuzz_ref, ior_ref,
+    # VMEM ray state
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, alive_ref,
+    # outputs: winner index + the 9 float attrs + material
+    idx_ref, ocx, ocy, ocz, orad, oar, oag, oab, omat, ofz, oio,
+    *, n_spheres: int, t_min: float, t_max: float,
+):
+    tables = (
+        cx_ref, cy_ref, cz_ref, rad_ref, r2_ref,
+        albr_ref, albg_ref, albb_ref, mat_ref, fuzz_ref, ior_ref,
+    )
+
+    def scan():
+        return closest_hit_scan(
+            tables, ox_ref[:], oy_ref[:], oz_ref[:],
+            dx_ref[:], dy_ref[:], dz_ref[:],
+            n_spheres=n_spheres, t_min=t_min, t_max=t_max,
+        )
+
+    def skip():
+        shape = (_SUB, _LANE)
+        f32 = jnp.float32
+        return (
+            jnp.full(shape, t_max, f32), jnp.full(shape, -1, jnp.int32),
+            jnp.zeros(shape, f32), jnp.zeros(shape, f32), jnp.zeros(shape, f32),
+            jnp.ones(shape, f32), jnp.zeros(shape, f32), jnp.zeros(shape, f32),
+            jnp.zeros(shape, f32), jnp.zeros(shape, jnp.int32),
+            jnp.zeros(shape, f32), jnp.ones(shape, f32),
+        )
+
+    any_alive = jnp.any(alive_ref[:] > 0)
+    (t, bi, cx, cy, cz, r, ar, ag, ab, mat, fz, io) = jax.lax.cond(
+        any_alive, scan, skip
+    )
+    idx_ref[:] = bi
+    ocx[:] = cx
+    ocy[:] = cy
+    ocz[:] = cz
+    orad[:] = r
+    oar[:] = ar
+    oag[:] = ag
+    oab[:] = ab
+    omat[:] = mat
+    ofz[:] = fz
+    oio[:] = io
+
+
+@functools.partial(jax.jit, static_argnames=("t_min", "t_max", "interpret"))
+def closest_hit_attrs_pallas(
+    origins, dirs, alive, scene_tables, t_min=1e-3, t_max=3.0e7, interpret=False
+):
+    """Closest hit + winner attributes in one fused kernel.
+
+    The scan already tracks the winning sphere's attributes inline
+    (pallas_common.closest_hit_scan); emitting them here removes EVERY
+    [N]-sized jnp table gather from the gradient fast path — XLA's TPU
+    gather runs at ~30 M elements/s, which made the glue 10x the physics
+    (round-1 measured 56 ms/bounce jnp vs ~5 ms/bounce in-kernel).
+
+    Args:
+      origins, dirs: [N, 3] f32.  alive: [N] bool.
+      scene_tables: the 11 [S] arrays (cx cy cz radius r2 albr albg albb
+        mat fuzz ior) — same layout as the bounce/persistent kernels.
+
+    Returns (idx [N] i32, attr9 tuple of 9 [N] f32 columns
+    (cx cy cz r albr albg albb fuzz ior), mat [N] i32).  All outputs are
+    detached values; reattach table gradients with
+    table_gather.attach_attr_columns.
+    """
+    n = origins.shape[0]
+    n_pad = -(-n // _BLOCK) * _BLOCK
+    pad = n_pad - n
+    rows = n_pad // _LANE
+
+    def comp(a, i):
+        col = a[:, i]
+        if pad:
+            col = jnp.concatenate([col, jnp.zeros((pad,), a.dtype)])
+        return col.reshape(rows, _LANE)
+
+    ox, oy, oz = comp(origins, 0), comp(origins, 1), comp(origins, 2)
+    dx, dy, dz = comp(dirs, 0), comp(dirs, 1), comp(dirs, 2)
+    al = alive.astype(jnp.float32)
+    if pad:
+        al = jnp.concatenate([al, jnp.zeros((pad,), jnp.float32)])
+    al = al.reshape(rows, _LANE)
+
+    s = scene_tables[0].shape[0]
+    kernel = functools.partial(
+        _closest_hit_attrs_kernel,
+        n_spheres=s, t_min=float(t_min), t_max=float(t_max),
+    )
+    blk = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vma = frozenset()
+    for a in (origins, dirs, alive, *scene_tables):
+        vma |= getattr(jax.typeof(a), "vma", frozenset())
+    f32out = jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma)
+    i32out = jax.ShapeDtypeStruct((rows, _LANE), jnp.int32, vma=vma)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(rows // _SUB,),
+        in_specs=[smem] * 11 + [blk] * 7,
+        out_specs=tuple([blk] * 11),
+        out_shape=(i32out,) + (f32out,) * 7 + (i32out,) + (f32out,) * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=30 * n_pad * s,
+            bytes_accessed=(7 + 11) * 4 * n_pad + 11 * 4 * s,
+            transcendentals=n_pad * s,
+        ),
+        interpret=interpret,
+    )(*scene_tables, ox, oy, oz, dx, dy, dz, al)
+
+    def unpack(a):
+        return a.reshape(-1)[:n]
+
+    idx = unpack(outs[0])
+    attr9 = tuple(unpack(o) for o in outs[1:8]) + tuple(
+        unpack(o) for o in outs[9:11]
+    )
+    mat = unpack(outs[8])
+    return idx, attr9, mat

@@ -26,6 +26,7 @@ from .camera import generate_rays
 from .ops.intersect import intersect_scene
 from .ops.materials import scatter, sky_color
 from .ops.sampling import bounce_noise, camera_jitter, ray_keys
+from .ops.table_gather import gather_rows, pack_tables
 from .types import Camera, RenderConfig, RenderState, Scene
 
 
@@ -139,24 +140,62 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
     if config.use_pallas:
         return trace_rays_pallas(origins, dirs, keys, scene, config)
 
+    if config.use_pallas_hits:
+        attr9 = pack_tables(scene)
+        sg0 = jax.lax.stop_gradient
+        sg_tables = (
+            sg0(scene.centers[:, 0]), sg0(scene.centers[:, 1]),
+            sg0(scene.centers[:, 2]), sg0(scene.radii),
+            sg0(scene.radii * scene.radii),
+            sg0(scene.albedo[:, 0]), sg0(scene.albedo[:, 1]),
+            sg0(scene.albedo[:, 2]), scene.material.astype(jnp.int32),
+            sg0(scene.fuzz), sg0(scene.ior),
+        )
+    else:
+        attr9 = sg_tables = None
+
     def bounce(carry, b):
         o, d, tp, rad, alive = carry
+        unif = bounce_noise(keys, b)
         if config.use_pallas_hits:
-            from .ops.intersect import intersect_scene_pallas
+            # Gradient fast path: the closest-hit kernel returns the winner
+            # index AND its attributes (selected inline during the scan), so
+            # the jnp glue does ZERO [N]-sized table gathers — XLA's TPU
+            # gather ran at ~30 M elem/s and made the glue 10x the physics.
+            # attach_attr_columns reattaches d(table): its backward
+            # bucket-accumulates cotangents with MXU one-hot matmuls
+            # (ops/table_gather.py) instead of XLA's serialized scatter-add
+            # — together these close the round-1 40x fwd/bwd gap.
+            from .ops.intersect import hit_from_gathered
+            from .ops.materials import scatter_attrs
+            from .ops.pallas_intersect import closest_hit_attrs_pallas
+            from .ops.table_gather import attach_attr_columns
 
-            hit = intersect_scene_pallas(
-                o, d, alive, scene, config.t_min, config.t_max,
+            sg = jax.lax.stop_gradient
+            idx, attr_vals, mat = closest_hit_attrs_pallas(
+                sg(o), sg(d), alive, sg_tables,
+                t_min=config.t_min, t_max=config.t_max,
                 interpret=config.pallas_interpret,
+            )
+            hit_mask = idx >= 0
+            i = jnp.maximum(idx, 0)
+            cx, cy, cz, r, ar, ag, ab, fz, io = attach_attr_columns(
+                attr9, i, *attr_vals
+            )
+            hit = hit_from_gathered(
+                o, d, i, hit_mask, jnp.stack([cx, cy, cz], -1), r,
+                config.t_min, config.t_max,
+            )
+            new_d, att, scattered = scatter_attrs(
+                d, hit.normal, mat, jnp.stack([ar, ag, ab], -1), fz, io, unif,
             )
         else:
             hit = intersect_scene(o, d, scene, config.t_min, config.t_max)
-        unif = bounce_noise(keys, b)
+            new_d, att, scattered = scatter(d, hit, scene, unif)
 
         # Miss shader: sky gradient, terminal (SingleThreadPathTracer.hpp:11-19).
         miss = alive & ~hit.hit
         rad = rad + tp * sky_color(d, scene.sky_lo, scene.sky_hi) * miss[:, None]
-
-        new_d, att, scattered = scatter(d, hit, scene, unif)
         live = alive & hit.hit
         surviving = live & scattered
         tp = jnp.where(surviving[:, None], tp * att, tp)
