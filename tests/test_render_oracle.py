@@ -50,6 +50,16 @@ def test_config3_cover_scene_defocus_matches_oracle():
     _compare(scene, cam, 40, 24, 8, 6, mean_tol=0.035, p99_tol=0.25)
 
 
+@pytest.mark.slow
+def test_config1_full_size_matches_oracle():
+    """BASELINE config 1 at its EXACT published size (200x100 @ 16spp
+    depth 8) — the once-per-round full-scale correctness leg (VERDICT.md
+    round-1 weak #7).  ~10 s of Python oracle time."""
+    scene = spt.simple_scene()
+    cam = spt.make_camera(origin=(0, 0, -1), lookat=(0, 0, 1), vfov_deg=90)
+    _compare(scene, cam, 200, 100, 16, 8, mean_tol=0.015, p99_tol=0.1)
+
+
 def test_render_deterministic():
     scene = spt.simple_scene()
     cam = spt.make_camera(origin=(0, 0, -1), lookat=(0, 0, 1))
