@@ -70,7 +70,9 @@ def main():
     report("full fwd+bwd", timed(vg, params))
 
     # no_rng: stub bounce_noise with a constant (monkeypatch before trace).
-    import simplepathtracer_tpu.render as R
+    import importlib
+
+    R = importlib.import_module("simplepathtracer_tpu.render")
 
     orig_noise = R.bounce_noise
     try:

@@ -92,15 +92,28 @@ def _persistent_kernel(
     nsamp_u = jnp.uint32(n_samples)
     nbank_u = jnp.uint32(n_banks)
 
-    # carry layout: kb, s, pix_cur, xf_cur, yf_cur, alive_f,
-    #               ox oy oz dx dy dz tr tg tb, then 3*n_banks accumulators
+    # Outputs are accumulated by in-loop read-modify-write at bank
+    # transitions; zero them before the loop.
+    zero = jnp.zeros(shape, f32)
+    for k in range(n_banks):
+        out_r[k] = zero
+        out_g[k] = zero
+        out_b[k] = zero
+
+    # Carry: kb, s, pix, alive_f, ox oy oz dx dy dz tr tg tb,
+    #        acc_r acc_g acc_b (ONE accumulator — the current bank's), b.
+    # Keeping a single accumulator and flushing it to out[kb] when the
+    # lane's bank completes costs ~9*n_banks VMEM ops per iteration but
+    # frees 3*(n_banks-1) carried registers, which is what allows raising
+    # n_banks beyond 8 — per-lane workload variance (the block-straggler
+    # tail) shrinks as 1/sqrt(n_banks).
     def cond(carry):
         return jnp.any(carry[0] < nbank_u)
 
     def body(carry):
-        (kb, s, pix, xfc, yfc, alive_f,
-         ox, oy, oz, dx, dy, dz, tr, tg, tb) = carry[:15]
-        accs = list(carry[15:15 + 3 * n_banks])
+        (kb, s, pix, alive_f,
+         ox, oy, oz, dx, dy, dz, tr, tg, tb,
+         acr, acg, acb, b) = carry
         alive = alive_f > 0.0
 
         def uniforms(c1):
@@ -110,25 +123,22 @@ def _persistent_kernel(
         # ---- regenerate on exhausted lanes (possibly a new bank) --------
         regen = (~alive) & (kb < nbank_u)
         # Bank-select the pixel attributes for regenerating lanes.
-        if n_banks > 1:
-            npix, nxf, nyf = pix_ref[0], xf_ref[0], yf_ref[0]
-            for k in range(1, n_banks):
-                in_k = kb == jnp.uint32(k)
-                npix = jnp.where(in_k, pix_ref[k], npix)
-                nxf = jnp.where(in_k, xf_ref[k], nxf)
-                nyf = jnp.where(in_k, yf_ref[k], nyf)
-        else:
-            npix, nxf, nyf = pix_ref[0], xf_ref[0], yf_ref[0]
+        npix, nxf, nyf = pix_ref[0], xf_ref[0], yf_ref[0]
+        for k in range(1, n_banks):
+            in_k = kb == jnp.uint32(k)
+            npix = jnp.where(in_k, pix_ref[k], npix)
+            nxf = jnp.where(in_k, xf_ref[k], nxf)
+            nyf = jnp.where(in_k, yf_ref[k], nyf)
         pix = jnp.where(regen, npix, pix)
-        xfc = jnp.where(regen, nxf, xfc)
-        yfc = jnp.where(regen, nyf, yfc)
 
         sample_id = samp_off + s
         c1b = sample_id << jnp.uint32(8)
         jx, jy = uniforms(c1b | jnp.uint32(124))
         lu, lv = uniforms(c1b | jnp.uint32(125))
-        s01 = (xfc + jx) * np.float32(1.0 / width)
-        t01 = 1.0 - (yfc + jy) * np.float32(1.0 / height)
+        # Camera ray built from the bank-selected coordinates: it is only
+        # consumed under the regen mask, so no xf/yf carry is needed.
+        s01 = (nxf + jx) * np.float32(1.0 / width)
+        t01 = 1.0 - (nyf + jy) * np.float32(1.0 / height)
         lr = jnp.sqrt(lu) * cam_ref[18]
         th = np.float32(2.0 * np.pi) * lv
         ou = lr * jnp.cos(th)
@@ -149,7 +159,7 @@ def _persistent_kernel(
         tr = jnp.where(regen, 1.0, tr)
         tg = jnp.where(regen, 1.0, tg)
         tb = jnp.where(regen, 1.0, tb)
-        b = jnp.where(regen, jnp.uint32(0), carry[15 + 3 * n_banks])
+        b = jnp.where(regen, jnp.uint32(0), b)
         alive = alive | regen
 
         # ---- closest hit + reconstruction (shared tile physics) ---------
@@ -169,14 +179,12 @@ def _persistent_kernel(
         u2, u3 = uniforms(c1b | (slot0 + jnp.uint32(1)))
         u4, u5 = uniforms(c1b | (slot0 + jnp.uint32(2)))
 
-        # ---- sky miss shader: bank-routed accumulation ------------------
+        # ---- sky miss shader into the lane accumulator ------------------
         skr, skg, skb = sky_components(sky_ref, dy)
         miss_f = jnp.where(alive & ~hit, 1.0, 0.0)
-        for k in range(n_banks):
-            bank_f = miss_f * jnp.where(kb == jnp.uint32(k), 1.0, 0.0)
-            accs[3 * k + 0] = accs[3 * k + 0] + tr * skr * bank_f
-            accs[3 * k + 1] = accs[3 * k + 1] + tg * skg * bank_f
-            accs[3 * k + 2] = accs[3 * k + 2] + tb * skb * bank_f
+        acr = acr + tr * skr * miss_f
+        acg = acg + tg * skg * miss_f
+        acb = acb + tb * skb * miss_f
 
         sdx, sdy, sdz, atr, atg, atb, scattered = scatter_tiles(
             dx, dy, dz, nx, ny, nz, mat, ar, ag, ab, fz, io,
@@ -211,40 +219,43 @@ def _persistent_kernel(
         b = jnp.where(surv, b_next, b)
         s_next = s + jnp.uint32(1)
         bank_done = s_next >= nsamp_u
+        flush = terminated & bank_done
+        flush_f = jnp.where(flush, 1.0, 0.0)
+        for k in range(n_banks):
+            mk = flush_f * jnp.where(kb == jnp.uint32(k), 1.0, 0.0)
+            out_r[k] = out_r[k] + acr * mk
+            out_g[k] = out_g[k] + acg * mk
+            out_b[k] = out_b[k] + acb * mk
+        keep = 1.0 - flush_f
+        acr = acr * keep
+        acg = acg * keep
+        acb = acb * keep
         s = jnp.where(terminated, jnp.where(bank_done, jnp.uint32(0), s_next), s)
-        kb = jnp.where(terminated & bank_done, kb + jnp.uint32(1), kb)
-        return tuple(
-            [kb, s, pix, xfc, yfc, sf, ox, oy, oz, dx, dy, dz, tr, tg, tb]
-            + accs + [b]
-        )
+        kb = jnp.where(flush, kb + jnp.uint32(1), kb)
+        return (kb, s, pix, sf, ox, oy, oz, dx, dy, dz, tr, tg, tb,
+                acr, acg, acb, b)
 
     z = jnp.zeros(shape, f32)
     zu = jnp.zeros(shape, jnp.uint32)
-    carry = tuple(
-        [zu, zu, zu, z, z, z,
-         z, z, z, z, z, jnp.ones(shape, f32),
-         jnp.ones(shape, f32), jnp.ones(shape, f32), jnp.ones(shape, f32)]
-        + [z] * (3 * n_banks) + [zu]
-    )
-    out = jax.lax.while_loop(cond, body, carry)
-    accs = out[15:15 + 3 * n_banks]
-    for k in range(n_banks):
-        out_r[k] = accs[3 * k + 0]
-        out_g[k] = accs[3 * k + 1]
-        out_b[k] = accs[3 * k + 2]
+    one = jnp.ones(shape, f32)
+    carry = (zu, zu, zu, z,
+             z, z, z, z, z, one,
+             one, one, one,
+             z, z, z, zu)
+    jax.lax.while_loop(cond, body, carry)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "n_samples", "max_depth", "width", "height", "t_min", "t_max",
-        "rr_start_depth", "interpret",
+        "rr_start_depth", "interpret", "n_banks",
     ),
 )
 def render_block_persistent(
     pixel_ids, scene_tables, sky6, cam19, key2, sample_offset,
     n_samples, max_depth, width, height,
-    t_min=1e-3, t_max=3.0e7, rr_start_depth=0, interpret=False,
+    t_min=1e-3, t_max=3.0e7, rr_start_depth=0, interpret=False, n_banks=None,
 ):
     """Radiance SUM over n_samples for each pixel id. Returns [P, 3] f32.
 
@@ -261,7 +272,12 @@ def render_block_persistent(
     other 1023 lanes — measured ~2.2x waste on the cover scene.
     """
     p = pixel_ids.shape[0]
-    n_banks = int(min(8, max(1, p // _BLOCK)))
+    if n_banks is None:
+        # Single-accumulator flushing (see _persistent_kernel) makes banks
+        # cheap: 16 measured best on v5e (straggler tail ~1/sqrt(banks)
+        # vs ~9*n_banks extra VMEM ops/iteration).
+        n_banks = 16
+    n_banks = int(min(n_banks, max(1, p // _BLOCK)))
     n_lanes = -(-p // n_banks)
     lanes_pad = -(-n_lanes // _BLOCK) * _BLOCK
     rows = lanes_pad // _LANE
