@@ -94,7 +94,9 @@ def main():
     orig_attach = TG.attach_attr_columns
     try:
         TG.attach_attr_columns = (
-            lambda table, idx, *cols: tuple(jax.lax.stop_gradient(c) for c in cols)
+            lambda interp, table, idx, *cols: tuple(
+                jax.lax.stop_gradient(c) for c in cols
+            )
         )
         vg3 = jax.jit(
             lambda p: jax.value_and_grad(inverse.pixel_loss)(

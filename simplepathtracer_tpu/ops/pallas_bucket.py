@@ -1,0 +1,103 @@
+"""Pallas bucket-accumulate kernel: the scatter-add transpose of a
+small-table gather, at memory speed-of-light.
+
+d_table[s, k] = sum over rays r of (idx[r] == s) * ct[r, k]
+
+The jnp fallback (table_gather.bucket_rows) materializes chunked [N, S]
+one-hot matrices in HBM — ~2 GB of traffic per bounce at N=1e6, S=512,
+measured ~7 ms/bounce (70 ms of a 193 ms fwd+bwd step).  This kernel
+builds each one-hot TILE in registers and feeds the MXU directly, so HBM
+traffic is just ct + idx once (~40 MB/bounce):
+
+  * ct arrives transposed [K_pad, N]: rays on lanes -> the dot's
+    contraction dim needs no in-kernel relayout;
+  * idx arrives as an [N, 1] column: Mosaic lane-broadcasts it against a
+    lane-dim iota to build the [512 rays, 128 spheres] one-hot chunk;
+  * out[k, s] accumulates across grid steps in a single VMEM block
+    (index_map pins every step to block (0, 0)).
+
+Reference counterpart: none — the reference has no autodiff; this is the
+transpose of Collision.hpp:87-109's winner lookup, the op that made the
+round-1 backward 40x slower than forward.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_RAYS = 512     # rays per grid step (contraction depth per dot)
+_SCH = 128      # sphere chunk (one-hot lane width)
+
+
+def _bucket_kernel(ctt_ref, idx_ref, out_ref, *, n_sphere_chunks: int):
+    """ctt_ref: (K_pad, _RAYS) f32; idx_ref: (_RAYS, 1) i32;
+    out_ref: (K_pad, n_sphere_chunks * _SCH) f32 accumulator."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    ctt = ctt_ref[:]
+    idx = idx_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_RAYS, _SCH), dimension=1)
+    for c in range(n_sphere_chunks):
+        onehot = (idx == lane + c * _SCH).astype(jnp.float32)  # [_RAYS, _SCH]
+        # [K_pad, _RAYS] @ [_RAYS, _SCH] -> [K_pad, _SCH] on the MXU.
+        # HIGHEST: one-hot entries are exact, so only the cotangent itself
+        # rounds — keep it f32-exact for the FD gradient tests.
+        part = jax.lax.dot_general(
+            ctt, onehot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        out_ref[:, c * _SCH:(c + 1) * _SCH] = (
+            out_ref[:, c * _SCH:(c + 1) * _SCH] + part
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("n_buckets", "interpret"))
+def bucket_rows_pallas(ct, idx, n_buckets: int, interpret: bool = False):
+    """ct: [N, K] f32 cotangent rows; idx: [N] i32 -> [n_buckets, K] f32."""
+    n, k = ct.shape
+    k_pad = max(8, -(-k // 8) * 8)
+    s_pad = -(-n_buckets // _SCH) * _SCH
+    n_pad = -(-n // _RAYS) * _RAYS
+
+    ctt = ct.T  # [K, N]
+    if k_pad != k:
+        ctt = jnp.concatenate([ctt, jnp.zeros((k_pad - k, n), ct.dtype)])
+    if n_pad != n:
+        # Zero cotangent on padding rays: contributes nothing to any bucket.
+        ctt = jnp.concatenate([ctt, jnp.zeros((k_pad, n_pad - n), ct.dtype)], axis=1)
+        idx = jnp.concatenate([idx, jnp.zeros((n_pad - n,), idx.dtype)])
+    idx_col = idx.reshape(n_pad, 1).astype(jnp.int32)
+
+    vma = frozenset()
+    for a in (ct, idx):
+        vma |= getattr(jax.typeof(a), "vma", frozenset())
+
+    out = pl.pallas_call(
+        functools.partial(_bucket_kernel, n_sphere_chunks=s_pad // _SCH),
+        grid=(n_pad // _RAYS,),
+        in_specs=[
+            pl.BlockSpec((k_pad, _RAYS), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_RAYS, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (k_pad, s_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((k_pad, s_pad), jnp.float32, vma=vma),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * s_pad * k_pad,
+            bytes_accessed=4 * (k_pad * n_pad + n_pad + k_pad * s_pad),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ctt, idx_col)
+    return out[:k, :n_buckets].T

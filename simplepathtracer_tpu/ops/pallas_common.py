@@ -121,7 +121,7 @@ def closest_hit_scan(
         bio = jnp.where(ok, i_ref[s], bio)
         return (bt, bi, bcx, bcy, bcz, br, bar, bag, bab, bm, bf, bio)
 
-    unroll = next((u for u in (4, 2, 1) if n_spheres % u == 0), 1)
+    unroll = next((u for u in (8, 4, 2, 1) if n_spheres % u == 0), 1)
 
     def body(i, c):
         for u in range(unroll):

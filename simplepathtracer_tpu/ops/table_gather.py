@@ -86,8 +86,8 @@ def _gather_bwd(res, ct):
 gather_rows.defvjp(_gather_fwd, _gather_bwd)
 
 
-@jax.custom_vjp
-def attach_attr_columns(table, idx, *cols):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def attach_attr_columns(interpret, table, idx, *cols):
     """Reattach table gradients to kernel-computed winner attributes.
 
     ``cols`` are the K per-ray attribute columns the closest-hit kernel
@@ -95,20 +95,30 @@ def attach_attr_columns(table, idx, *cols):
     numerically identical to ``table[idx].T`` but produced without any
     [N]-sized gather.  Forward: the columns pass through untouched.
     Backward: the cotangents bucket-accumulate into d(table) exactly as a
-    gather's transpose would (the discrete idx is locally constant).
+    gather's transpose would (the discrete idx is locally constant), via
+    the Pallas bucket kernel on TPU/interpret (pallas_bucket.py) or the
+    chunked one-hot jnp matmul otherwise.
+
+    ``interpret`` (static): run the bucket kernel in Pallas interpret mode
+    (config.pallas_interpret — the CPU test path).
     """
-    del table, idx
+    del interpret, table, idx
     return cols
 
 
-def _attach_fwd(table, idx, *cols):
+def _attach_fwd(interpret, table, idx, *cols):
     return cols, (idx, table.shape[0], len(cols))
 
 
-def _attach_bwd(res, ct_cols):
+def _attach_bwd(interpret, res, ct_cols):
     idx, s, k = res
     ct = jnp.stack(ct_cols, axis=-1)  # [N, K]
-    d_table = bucket_rows(ct, idx, s)
+    if interpret or jax.default_backend() == "tpu":
+        from .pallas_bucket import bucket_rows_pallas
+
+        d_table = bucket_rows_pallas(ct, idx, s, interpret=interpret)
+    else:
+        d_table = bucket_rows(ct, idx, s)
     zeros = tuple(jnp.zeros_like(c) for c in ct_cols)
     return (d_table, None) + zeros
 

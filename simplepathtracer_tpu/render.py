@@ -180,7 +180,7 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
             hit_mask = idx >= 0
             i = jnp.maximum(idx, 0)
             cx, cy, cz, r, ar, ag, ab, fz, io = attach_attr_columns(
-                attr9, i, *attr_vals
+                config.pallas_interpret, attr9, i, *attr_vals
             )
             hit = hit_from_gathered(
                 o, d, i, hit_mask, jnp.stack([cx, cy, cz], -1), r,

@@ -25,6 +25,22 @@ def test_gather_rows_matches_plain_gather_and_vjp():
     )
 
 
+def test_bucket_rows_pallas_matches_jnp():
+    """Pallas bucket kernel (interpret) == jnp one-hot bucketing == XLA
+    scatter-add, including ray padding and bucket padding."""
+    from simplepathtracer_tpu.ops.pallas_bucket import bucket_rows_pallas
+    from simplepathtracer_tpu.ops.table_gather import bucket_rows
+
+    s, k, n = 37, 9, 1311  # non-multiples of every kernel tile size
+    idx = jax.random.randint(jax.random.PRNGKey(5), (n,), 0, s, jnp.int32)
+    ct = jax.random.normal(jax.random.PRNGKey(6), (n, k), jnp.float32)
+    a = np.asarray(bucket_rows_pallas(ct, idx, s, interpret=True))
+    b = np.asarray(bucket_rows(ct, idx, s))
+    c = np.asarray(jnp.zeros((s, k)).at[idx].add(ct))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-5)
+
+
 def test_pack_tables_gradient_splits_to_leaves():
     scene = spt.three_sphere_scene()
     idx = jnp.asarray([0, 2, 1, 3, 0], jnp.int32)
