@@ -35,6 +35,7 @@ from .pallas_common import (
     SUB,
     closest_hit_scan,
     hit_point_normal,
+    pad_scene_tables,
     scatter_tiles,
     sky_components,
     threefry2x32,
@@ -185,6 +186,7 @@ def bounce_step_pallas(
     grid = (rows // _SUB,)
     blk = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    scene_tables = pad_scene_tables(scene_tables)
     s = scene_tables[0].shape[0]
     kernel = functools.partial(
         _bounce_kernel, n_spheres=s, t_min=float(t_min), t_max=float(t_max),

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_common import closest_hit_scan
+from .pallas_common import closest_hit_scan, pad_scene_tables
 
 # Block geometry: 8 sublanes x 128 lanes = 1024 rays per grid step (f32 tile).
 _SUB = 8
@@ -250,6 +250,7 @@ def closest_hit_attrs_pallas(
         al = jnp.concatenate([al, jnp.zeros((pad,), jnp.float32)])
     al = al.reshape(rows, _LANE)
 
+    scene_tables = pad_scene_tables(scene_tables)
     s = scene_tables[0].shape[0]
     kernel = functools.partial(
         _closest_hit_attrs_kernel,

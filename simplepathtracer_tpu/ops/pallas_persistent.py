@@ -50,6 +50,7 @@ from .pallas_common import (
     SUB as _SUB,
     closest_hit_scan,
     hit_point_normal,
+    pad_scene_tables,
     scatter_tiles,
     sky_components,
     threefry2x32,
@@ -299,6 +300,7 @@ def render_block_persistent(
     yf = yf.reshape(n_banks, rows, _LANE)
     soff = jnp.full((rows, _LANE), jnp.asarray(sample_offset, jnp.uint32))
 
+    scene_tables = pad_scene_tables(scene_tables)
     s = scene_tables[0].shape[0]
     kernel = functools.partial(
         _persistent_kernel,
