@@ -32,7 +32,10 @@ sys.path.insert(0, REPO)
 WIDTH, HEIGHT, DEPTH = 1200, 800, 10
 WARMUP_SPP = 4
 BENCH_SPP = 100
-GRAD_SPP = 4
+# 1 spp: the gradient path saves [spp*W*H]-sized per-bounce residuals; 4 spp
+# needs ~17 GB HBM (> the 15.75 GB v5e) — production training steps
+# microbatch spp with grad accumulation anyway (inverse.fit).
+GRAD_SPP = 1
 
 
 def cpu_baseline_paths_per_sec():

@@ -32,7 +32,7 @@ from .types import RenderConfig
 
 def _apply_overrides(config: RenderConfig, args) -> RenderConfig:
     kw = {}
-    for field in ("width", "height", "spp", "max_depth", "spp_chunk"):
+    for field in ("width", "height", "spp", "max_depth", "spp_chunk", "balance_probe_spp"):
         v = getattr(args, field, None)
         if v is not None:
             kw[field] = v
@@ -184,6 +184,10 @@ def main(argv=None) -> int:
     r.add_argument("--max-depth", dest="max_depth", type=int)
     r.add_argument("--spp-chunk", dest="spp_chunk", type=int)
     r.add_argument("--no-pallas", action="store_true", help="use the jnp reference path")
+    r.add_argument(
+        "--balance", dest="balance_probe_spp", type=int, metavar="PROBE_SPP",
+        help="adaptive lane balancing: probe spp before cost-sorted assignment",
+    )
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--scene-seed", type=int, default=0)
     r.add_argument("--snapshot", default=None, help="snapshot file (.npz)")

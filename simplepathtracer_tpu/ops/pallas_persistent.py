@@ -59,6 +59,11 @@ from .pallas_common import (
 
 _BLOCK = _SUB * _LANE
 
+# Default lane-bank count (single-accumulator flushing makes banks cheap;
+# 16 measured best on v5e).  The adaptive balancer (render._balanced_perm)
+# must agree with this to know the position -> (bank, lane) map.
+DEFAULT_BANKS = 16
+
 
 def _persistent_kernel(
     # SMEM scene tables
@@ -76,6 +81,7 @@ def _persistent_kernel(
     yf_ref,    # (n_banks, 8, 128) f32 — pixel y coordinate
     # outputs
     out_r, out_g, out_b,  # (n_banks, 8, 128) f32 radiance sums
+    out_n,                # (n_banks, 8, 128) f32 iteration counts
     *, n_spheres: int, n_samples: int, max_depth: int, n_banks: int,
     width: int, height: int, t_min: float, t_max: float,
     rr_start_depth: int = 0,
@@ -100,6 +106,7 @@ def _persistent_kernel(
         out_r[k] = zero
         out_g[k] = zero
         out_b[k] = zero
+        out_n[k] = zero
 
     # Carry: kb, s, pix, alive_f, ox oy oz dx dy dz tr tg tb,
     #        acc_r acc_g acc_b (ONE accumulator — the current bank's), b.
@@ -114,7 +121,7 @@ def _persistent_kernel(
     def body(carry):
         (kb, s, pix, alive_f,
          ox, oy, oz, dx, dy, dz, tr, tg, tb,
-         acr, acg, acb, b) = carry
+         acr, acg, acb, itc, b) = carry
         alive = alive_f > 0.0
 
         def uniforms(c1):
@@ -162,6 +169,9 @@ def _persistent_kernel(
         tb = jnp.where(regen, 1.0, tb)
         b = jnp.where(regen, jnp.uint32(0), b)
         alive = alive | regen
+        # Per-bank iteration counter: the per-pixel cost signal that drives
+        # the adaptive lane rebalancing (render.accumulate probe pass).
+        itc = itc + jnp.where(alive, 1.0, 0.0)
 
         # ---- closest hit + reconstruction (shared tile physics) ---------
         (t, bi, cx, cy, cz, r, ar, ag, ab, mat, fz, io) = closest_hit_scan(
@@ -227,14 +237,16 @@ def _persistent_kernel(
             out_r[k] = out_r[k] + acr * mk
             out_g[k] = out_g[k] + acg * mk
             out_b[k] = out_b[k] + acb * mk
+            out_n[k] = out_n[k] + itc * mk
         keep = 1.0 - flush_f
         acr = acr * keep
         acg = acg * keep
         acb = acb * keep
+        itc = itc * keep
         s = jnp.where(terminated, jnp.where(bank_done, jnp.uint32(0), s_next), s)
         kb = jnp.where(flush, kb + jnp.uint32(1), kb)
         return (kb, s, pix, sf, ox, oy, oz, dx, dy, dz, tr, tg, tb,
-                acr, acg, acb, b)
+                acr, acg, acb, itc, b)
 
     z = jnp.zeros(shape, f32)
     zu = jnp.zeros(shape, jnp.uint32)
@@ -242,7 +254,7 @@ def _persistent_kernel(
     carry = (zu, zu, zu, z,
              z, z, z, z, z, one,
              one, one, one,
-             z, z, z, zu)
+             z, z, z, z, zu)
     jax.lax.while_loop(cond, body, carry)
 
 
@@ -250,15 +262,19 @@ def _persistent_kernel(
     jax.jit,
     static_argnames=(
         "n_samples", "max_depth", "width", "height", "t_min", "t_max",
-        "rr_start_depth", "interpret", "n_banks",
+        "rr_start_depth", "interpret", "n_banks", "return_counts",
     ),
 )
 def render_block_persistent(
     pixel_ids, scene_tables, sky6, cam19, key2, sample_offset,
     n_samples, max_depth, width, height,
     t_min=1e-3, t_max=3.0e7, rr_start_depth=0, interpret=False, n_banks=None,
+    return_counts=False,
 ):
     """Radiance SUM over n_samples for each pixel id. Returns [P, 3] f32.
+    With ``return_counts=True`` returns ([P, 3] radiance, [P] f32 kernel
+    iterations spent on that pixel's n_samples — the per-pixel cost signal
+    for adaptive lane balancing).
 
     pixel_ids: [P] int/uint — global pixel ids (row-major, y*width+x).
     scene_tables: 11 [S] arrays (see pallas_bounce.bounce_step_pallas).
@@ -277,7 +293,7 @@ def render_block_persistent(
         # Single-accumulator flushing (see _persistent_kernel) makes banks
         # cheap: 16 measured best on v5e (straggler tail ~1/sqrt(banks)
         # vs ~9*n_banks extra VMEM ops/iteration).
-        n_banks = 16
+        n_banks = DEFAULT_BANKS
     n_banks = int(min(n_banks, max(1, p // _BLOCK)))
     n_lanes = -(-p // n_banks)
     lanes_pad = -(-n_lanes // _BLOCK) * _BLOCK
@@ -326,14 +342,14 @@ def render_block_persistent(
 
     if vma:
         pix, soff, xf, yf = (to_vma(x) for x in (pix, soff, xf, yf))
-    out_r, out_g, out_b = pl.pallas_call(
+    out_r, out_g, out_b, out_n = pl.pallas_call(
         kernel,
         grid=(rows // _SUB,),
         in_specs=[smem] * 14 + [blk3, blk2, blk3, blk3],
-        out_specs=(blk3, blk3, blk3),
+        out_specs=(blk3, blk3, blk3, blk3),
         out_shape=tuple(
             jax.ShapeDtypeStruct((n_banks, rows, _LANE), jnp.float32, vma=vma)
-            for _ in range(3)
+            for _ in range(4)
         ),
         cost_estimate=pl.CostEstimate(
             flops=40 * lanes_pad * n_banks * s * int(n_samples),
@@ -346,7 +362,10 @@ def render_block_persistent(
     def unbank(o):
         return o.reshape(n_banks, lanes_pad)[:, :n_lanes].reshape(-1)[:p]
 
-    return jnp.stack([unbank(out_r), unbank(out_g), unbank(out_b)], axis=-1)
+    img = jnp.stack([unbank(out_r), unbank(out_g), unbank(out_b)], axis=-1)
+    if return_counts:
+        return img, unbank(out_n)
+    return img
 
 
 def camera_constants(cam, width, height):

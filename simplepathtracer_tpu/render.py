@@ -290,7 +290,10 @@ def _persistent_args(scene, camera, config, key):
     return tables, sky6, cam19, kd
 
 
-def _render_block_pallas(scene, camera, config, key, pixel_ids, sample_offset, n_samples):
+def _render_block_pallas(
+    scene, camera, config, key, pixel_ids, sample_offset, n_samples,
+    return_counts=False,
+):
     """Persistent-kernel radiance sum for a pixel block (forward fast path)."""
     from .ops.pallas_persistent import render_block_persistent
 
@@ -302,7 +305,43 @@ def _render_block_pallas(scene, camera, config, key, pixel_ids, sample_offset, n
         t_min=config.t_min, t_max=config.t_max,
         rr_start_depth=config.rr_start_depth,
         interpret=config.pallas_interpret,
+        return_counts=return_counts,
     )
+
+
+def _balanced_perm(counts):
+    """Cost-balancing pixel permutation for the persistent kernel's lanes.
+
+    ``counts[q]``: measured kernel iterations for the pixel at position q
+    (from a probe pass).  The kernel assigns position q to bank q//n_lanes,
+    lane q%n_lanes, and a 1024-lane block runs as long as its most loaded
+    lane — with pixels in image order, lane loads inherit the image's
+    spatial cost structure (glass pixels cost ~3x diffuse) and the
+    straggler tail was measured at ~28% of total kernel time.
+
+    Snake assignment over the cost ranking: bank k takes ranks
+    [k*n_lanes, (k+1)*n_lanes), laid onto lanes in alternating direction,
+    so every lane gets one pixel from each cost stratum and within-stratum
+    slopes cancel.  Lane sums concentrate near the mean; the block max
+    approaches it.  The reference's analog is its tile scheduler's implicit
+    load imbalance (include/Renderer.hpp:257-302 — a thread per tile,
+    expensive tiles straggle); this is the measured-cost fix it lacks.
+    """
+    from .ops.pallas_persistent import _BLOCK, DEFAULT_BANKS
+
+    p = counts.shape[0]
+    # Must mirror render_block_persistent's bank geometry exactly.
+    n_banks = int(min(DEFAULT_BANKS, max(1, p // _BLOCK)))
+    n_lanes = -(-p // n_banks)
+    order = jnp.argsort(-counts).astype(jnp.int32)   # rank -> position
+    q = jnp.arange(p, dtype=jnp.int32)
+    k = q // n_lanes
+    l = q % n_lanes
+    # Snake only over full banks (a partial final bank keeps identity order
+    # so rank(q) stays a bijection onto [0, p)).
+    use_snake = ((k % 2) == 1) & ((k + 1) * n_lanes <= p)
+    rank = k * n_lanes + jnp.where(use_snake, n_lanes - 1 - l, l)
+    return order[rank]
 
 
 def render_pixel_block(scene, camera, config, key, pixel_ids, sample_offset, n_samples):
@@ -378,6 +417,10 @@ def accumulate(
     uninterrupted run (the reference loses everything on a crash —
     SURVEY.md S5 checkpoint row).
     """
+    probe = config.balance_probe_spp if config.use_pallas else 0
+    if probe and n_samples > probe:
+        return _accumulate_balanced(state, scene, camera, config, n_samples, probe)
+
     chunk = config.spp_chunk or n_samples
     chunk = min(chunk, n_samples)
     n_steps, rem = divmod(n_samples, chunk)
@@ -389,6 +432,39 @@ def accumulate(
         return accum + batch.reshape(config.height, config.width, 3), None
 
     accum, _ = jax.lax.scan(step, state.accum, jnp.arange(n_steps))
+    return RenderState(
+        accum=accum,
+        sample_count=state.sample_count + n_samples,
+        next_key=state.next_key,
+    )
+
+
+def _accumulate_balanced(state, scene, camera, config, n_samples, probe):
+    """Probe-then-balance accumulation (persistent kernel).
+
+    The probe chunk renders ``probe`` real spp in image order and measures
+    per-pixel kernel iterations; the remaining spp render with pixels
+    assigned to lanes in cost-balanced snake order (``_balanced_perm``).
+    Pixel values are bit-identical to the unbalanced two-chunk schedule —
+    randomness is keyed by global (pixel, sample) ids, so lane placement
+    cannot change any sample — only the lane schedule (and therefore the
+    block-straggler waste) changes.
+    """
+    h, w = config.height, config.width
+    p = config.num_pixels
+    pixel_ids = jnp.arange(p, dtype=jnp.int32)
+    batch, counts = _render_block_pallas(
+        scene, camera, config, state.next_key, pixel_ids,
+        state.sample_count, probe, return_counts=True,
+    )
+    accum = state.accum + batch.reshape(h, w, 3)
+    perm = _balanced_perm(counts)
+    rad = _render_block_pallas(
+        scene, camera, config, state.next_key, perm,
+        state.sample_count + probe, n_samples - probe,
+    )
+    inv = jnp.argsort(perm)
+    accum = accum + rad[inv].reshape(h, w, 3)
     return RenderState(
         accum=accum,
         sample_count=state.sample_count + n_samples,

@@ -159,6 +159,14 @@ class RenderConfig:
     # probability max(throughput) (clamped to [0.05, 1]) and are reweighted
     # by 1/p — unbiased early termination the reference lacks.  0 disables.
     rr_start_depth: int = 0
+    # Adaptive lane balancing (persistent kernel only): render this many
+    # probe spp first, measure per-pixel kernel iterations, then assign
+    # pixels to lanes cost-sorted (snake order) for the remaining spp.  A
+    # lane block runs as long as its most loaded lane; balancing lane sums
+    # shrinks that straggler tail.  Pixel values are bit-identical (all RNG
+    # is keyed by global pixel id) — only the lane schedule changes.
+    # 0 disables.
+    balance_probe_spp: int = 0
     rng_impl: str = "threefry2x32"  # jax PRNG implementation
 
     def __post_init__(self):
