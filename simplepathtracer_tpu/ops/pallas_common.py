@@ -68,12 +68,13 @@ def to_unit_float(bits):
     return i.astype(jnp.float32) * np.float32(2.0**-24)
 
 
-def pad_scene_tables(tables, multiple: int = 8):
+def pad_scene_tables(tables, multiple: int = 16):
     """Pad the 11 SMEM sphere tables to a multiple of ``multiple`` slots.
 
-    The sphere scan's manual unroll needs n_spheres % unroll == 0 and the
-    8x unroll measured +7.5% over 4x on v5e (scalar SMEM loads are the
-    scan's critical path; deeper unroll hides them better).  Padding slots
+    The sphere scan's manual unroll needs n_spheres % unroll == 0; on v5e
+    the measured ladder is 4x -> 8x (+7.5%) -> 16x (+6%) -> 32x (slight
+    regression), so 16 is the default (scalar SMEM loads are the scan's
+    critical path; deeper unroll hides them better).  Padding slots
     use r^2 = -1: disc = r2 - |oc_perp|^2 <= -1 for EVERY ray, so sqrt
     yields NaN and the candidate self-rejects — no cancellation edge case
     (padding with huge centers risks disc ~ 0 through inf-inf).
@@ -145,7 +146,7 @@ def closest_hit_scan(
         bio = jnp.where(ok, i_ref[s], bio)
         return (bt, bi, bcx, bcy, bcz, br, bar, bag, bab, bm, bf, bio)
 
-    unroll = next((u for u in (8, 4, 2, 1) if n_spheres % u == 0), 1)
+    unroll = next((u for u in (16, 8, 4, 2, 1) if n_spheres % u == 0), 1)
 
     def body(i, c):
         for u in range(unroll):
