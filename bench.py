@@ -120,7 +120,7 @@ def main():
     )
     config = spt.RenderConfig(
         width=WIDTH, height=HEIGHT, spp=BENCH_SPP, max_depth=DEPTH, spp_chunk=0,
-        use_pallas=True,
+        use_pallas=True, balance_probe_spp=2,
     )
     key = jax.random.PRNGKey(0)
     base = cpu_baseline_paths_per_sec()
