@@ -107,16 +107,17 @@ def fit(
     if softness and any(k in leaves for k in ("centers", "radii")):
         config = config.replace(silhouette_softness=float(softness))
     # Forward-only Pallas presets downgrade to the differentiable path; on
-    # TPU, accelerate gradients with the detached Pallas closest-hit
-    # (~1.9x; values identical — tests/test_inverse.py).  CPU keeps the
-    # pure-jnp path (the kernel would need interpret mode there).
+    # TPU, accelerate gradients with the fused Pallas fwd+bwd bounce
+    # (ops/pallas_grad.py; gradient semantics identical to the jnp bounce —
+    # tests/test_pallas_grad.py).  CPU keeps the pure-jnp path (the kernels
+    # would need interpret mode there).
     config = grad_safe_config(config)
     if (
-        not config.use_pallas_hits
+        not (config.use_pallas_grad or config.use_pallas_hits)
         and not config.pallas_interpret
         and jax.default_backend() == "tpu"
     ):
-        config = config.replace(use_pallas_hits=True)
+        config = config.replace(use_pallas_grad=True)
 
     @jax.jit
     def step_fn(params, opt_state, step_key):

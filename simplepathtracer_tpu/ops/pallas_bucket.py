@@ -42,23 +42,28 @@ def _bucket_kernel(ctt_ref, idx_ref, out_ref, *, n_sphere_chunks: int):
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    ctt = ctt_ref[:]
     idx = idx_ref[:]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (_RAYS, _SCH), dimension=1)
-    for c in range(n_sphere_chunks):
-        onehot = (idx == lane + c * _SCH).astype(jnp.float32)  # [_RAYS, _SCH]
-        # [K_pad, _RAYS] @ [_RAYS, _SCH] -> [K_pad, _SCH] on the MXU.
-        # HIGHEST: one-hot entries are exact, so only the cotangent itself
-        # rounds — keep it f32-exact for the FD gradient tests.
-        part = jax.lax.dot_general(
-            ctt, onehot,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        out_ref[:, c * _SCH:(c + 1) * _SCH] = (
-            out_ref[:, c * _SCH:(c + 1) * _SCH] + part
-        )
+    # Dead-chunk skip: idx rows that can contribute a nonzero cotangent are
+    # >= 0 (the gradient kernels mask dead/miss lanes to -1 and their ct is
+    # exactly zero).  By the late bounces most chunks are fully dead.
+    @pl.when(jnp.any(idx >= 0))
+    def _accumulate():
+        ctt = ctt_ref[:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_RAYS, _SCH), dimension=1)
+        for c in range(n_sphere_chunks):
+            onehot = (idx == lane + c * _SCH).astype(jnp.float32)  # [_RAYS, _SCH]
+            # [K_pad, _RAYS] @ [_RAYS, _SCH] -> [K_pad, _SCH] on the MXU.
+            # HIGHEST: one-hot entries are exact, so only the cotangent itself
+            # rounds — keep it f32-exact for the FD gradient tests.
+            part = jax.lax.dot_general(
+                ctt, onehot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            out_ref[:, c * _SCH:(c + 1) * _SCH] = (
+                out_ref[:, c * _SCH:(c + 1) * _SCH] + part
+            )
 
 
 @functools.partial(jax.jit, static_argnames=("n_buckets", "interpret"))
@@ -96,6 +101,57 @@ def bucket_rows_pallas(ct, idx, n_buckets: int, interpret: bool = False):
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * s_pad * k_pad,
             bytes_accessed=4 * (k_pad * n_pad + n_pad + k_pad * s_pad),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ctt, idx_col)
+    return out[:k, :n_buckets].T
+
+
+@functools.partial(jax.jit, static_argnames=("n_buckets", "interpret"))
+def bucket_cols_pallas(cols, idx_tiles, n_buckets: int, interpret: bool = False):
+    """bucket_rows_pallas on K separate (rows, 128) column tiles.
+
+    ``cols``: K (rows, 128) f32 cotangent tiles (one per table attribute —
+    the layout the gradient backward kernel emits); ``idx_tiles``:
+    (rows, 128) i32 winner indices, -1 where the cotangent row is zero
+    (dead/miss lanes).  Returns [n_buckets, K] f32.
+
+    Avoids the [N, K] -> [K, N] XLA transpose of the row interface: the
+    columns concatenate directly into the kernel's [K_pad, N] operand.
+    """
+    k = len(cols)
+    rows = idx_tiles.shape[0]
+    n = rows * idx_tiles.shape[1]
+    k_pad = max(8, -(-k // 8) * 8)
+    s_pad = -(-n_buckets // _SCH) * _SCH
+    assert n % _RAYS == 0  # rows % 8 == 0 => n % 1024 == 0
+
+    ctt = jnp.concatenate(
+        [c.reshape(1, n) for c in cols]
+        + [jnp.zeros((k_pad - k, n), cols[0].dtype)],
+        axis=0,
+    )
+    idx_col = idx_tiles.reshape(n, 1).astype(jnp.int32)
+
+    vma = frozenset()
+    for a in (*cols, idx_tiles):
+        vma |= getattr(jax.typeof(a), "vma", frozenset())
+
+    out = pl.pallas_call(
+        functools.partial(_bucket_kernel, n_sphere_chunks=s_pad // _SCH),
+        grid=(n // _RAYS,),
+        in_specs=[
+            pl.BlockSpec((k_pad, _RAYS), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_RAYS, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (k_pad, s_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((k_pad, s_pad), jnp.float32, vma=vma),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * s_pad * k_pad,
+            bytes_accessed=4 * (k_pad * n + n + k_pad * s_pad),
             transcendentals=0,
         ),
         interpret=interpret,

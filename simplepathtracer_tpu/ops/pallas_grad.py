@@ -1,0 +1,562 @@
+"""Fully-fused differentiable path tracing: Pallas forward AND backward.
+
+The round-1/2 gradient path ran the bounce loop in XLA jnp ops with only the
+closest-hit scan in a kernel (render.py use_pallas_hits).  Measured on a v5e
+chip, that XLA glue runs ~10-20x below VPU speed-of-light for this workload
+(threefry alone: 17 ms in XLA for <1 ms of VPU work), putting fwd+bwd at
+~197 ms per 960k-path frame while the pure-forward kernel needs ~21 ms.
+
+This module moves the WHOLE differentiable bounce into Pallas:
+
+  * `_grad_fwd_kernel` — one bounce per call, same tile physics as the
+    forward megakernel (pallas_common), but it additionally emits the
+    per-ray residuals the backward needs: the winner index (masked to -1
+    where the lane is dead, so zero-cotangent chunks are detectable) and
+    the winner's 9 float attributes + material, selected inline during the
+    scan (no [N]-sized gathers anywhere).
+  * `_grad_bwd_kernel` — one bounce per call, walked in reverse.  It
+    rebuilds the bounce's differentiable computation from the residuals
+    (hit-t recomputation exactly like ops/intersect.hit_from_gathered,
+    scatter via the shared pallas_common.scatter_tiles, RNG recomputed from
+    the threefry counters) and obtains its adjoints by calling ``jax.vjp``
+    ON THE TILE FUNCTION INSIDE THE KERNEL BODY: the linearized and
+    transposed ops are traced at kernel-build time and compiled by Mosaic
+    like any other tile math.  No hand-derived gradients anywhere, so the
+    kernel cannot drift from the jnp reference semantics.
+  * Table cotangents leave the backward kernel as 9 [N]-column tiles and
+    are bucket-accumulated by ops/pallas_bucket (MXU one-hot matmuls) with
+    dead-chunk skipping driven by the masked winner index.
+  * Sky cotangents accumulate in-kernel into six grid-pinned partial-sum
+    tiles (one XLA reduction of (8,128) each at the end).
+
+The public entry is `trace_rays_fused` — a drop-in replacement for
+render.trace_rays under ``jax.grad`` (config.use_pallas_grad).  Gradient
+semantics match the jnp bounce: the hit selection and material/coin
+branches are locally constant (discrete), t/normal/attenuation/throughput
+flow, and the clamp floors (_DISC_EPS etc.) are identical.
+
+Reference counterpart: none — the reference (ilia-glushchenko/
+SimplePathTracer) is not differentiable.  The loop being differentiated is
+its TraceAndSampleColor (include/SingleThreadPathTracer.hpp:94-112) over
+FindClosestIntersectionSphere (include/Collision.hpp:87-109).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_common import (
+    LANE as _LANE,
+    SUB as _SUB,
+    closest_hit_scan,
+    pad_scene_tables,
+    scatter_tiles,
+    threefry2x32,
+    to_unit_float,
+)
+
+_BLOCK = _SUB * _LANE
+_DISC_EPS = 1e-12  # == ops/intersect._DISC_EPS (gradient floor at grazing hits)
+
+
+def _uniforms7(k0, k1, pix, samp, bounce):
+    """The 7 bounce uniforms (slot map of ops/sampling.py) as (8,128) tiles."""
+    c1b = samp << jnp.uint32(8)
+    slot0 = bounce * jnp.uint32(4)
+    u = []
+    for e in range(4):
+        w0, w1 = threefry2x32(k0, k1, pix, c1b | (slot0 + jnp.uint32(e)))
+        u.append(to_unit_float(w0))
+        u.append(to_unit_float(w1))
+    return tuple(u[:7])
+
+
+def bounce_tile(
+    o3, d3, tp3, a9, mat, hit, alive, u, sky6, do_rr,
+    *, t_min: float, t_max: float, rr_on: bool,
+):
+    """One differentiable bounce on (8,128) tiles.
+
+    Differentiable args: o3/d3 (ray), tp3 (throughput), a9 (winner
+    attributes cx cy cz r albr albg albb fuzz ior).  Everything else is
+    discrete / reparameterized-constant, exactly like the jnp bounce
+    (render.py): `mat`/`hit`/`alive` masks, the uniforms `u`, the RR gate
+    `do_rr`.  `sky6` enters as closed-over values; its cotangent is
+    accumulated manually by the backward kernel (simple lerp weights).
+
+    Returns (o'3, d'3, tp'3, rad_contrib3, surv_f).  Ops and clamp floors
+    mirror ops/intersect.hit_from_gathered + ops/materials.scatter_attrs +
+    the render.py carry updates, so ``jax.vjp`` of this function equals the
+    jnp path's gradients.
+    """
+    ox, oy, oz = o3
+    dx, dy, dz = d3
+    tr, tg, tb = tp3
+    cx, cy, cz, r, ar, ag, ab, fz, io = a9
+
+    # Differentiable hit reconstruction (intersect.hit_from_gathered).
+    ocx, ocy, ocz = cx - ox, cy - oy, cz - oz
+    tc = ocx * dx + ocy * dy + ocz * dz
+    oc2 = ocx * ocx + ocy * ocy + ocz * ocz
+    disc = r * r - (oc2 - tc * tc)
+    sq = jnp.sqrt(jnp.maximum(disc, _DISC_EPS))
+    t_near = tc - sq
+    t = jnp.where(t_near > t_min, t_near, tc + sq)
+    t = jnp.where(hit, t, t_max)
+    px = ox + t * dx
+    py = oy + t * dy
+    pz = oz + t * dz
+    nx = (px - cx) / r
+    ny = (py - cy) / r
+    nz = (pz - cz) / r
+    ninv = 1.0 / jnp.sqrt(nx * nx + ny * ny + nz * nz + 1e-20)
+    nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
+
+    sdx, sdy, sdz, atr, atg, atb, scattered = scatter_tiles(
+        dx, dy, dz, nx, ny, nz, mat, ar, ag, ab, fz, io, u
+    )
+
+    # Sky miss shader (materials.sky_color lerp).
+    s01 = 0.5 * (dy + 1.0)
+    skr = sky6[0] + (sky6[3] - sky6[0]) * s01
+    skg = sky6[1] + (sky6[4] - sky6[1]) * s01
+    skb = sky6[2] + (sky6[5] - sky6[2]) * s01
+    miss_f = jnp.where(alive & ~hit, 1.0, 0.0)
+    rad_r = tr * skr * miss_f
+    rad_g = tg * skg * miss_f
+    rad_b = tb * skb * miss_f
+
+    live = alive & hit
+    surv = live & scattered
+    ntr = jnp.where(surv, tr * atr, tr)
+    ntg = jnp.where(surv, tg * atg, tg)
+    ntb = jnp.where(surv, tb * atb, tb)
+    nox = jnp.where(live, px, ox)
+    noy = jnp.where(live, py, oy)
+    noz = jnp.where(live, pz, oz)
+    # Directions use the pre-RR survival mask (render.py ordering).
+    ndx = jnp.where(surv, sdx, dx)
+    ndy = jnp.where(surv, sdy, dy)
+    ndz = jnp.where(surv, sdz, dz)
+    if rr_on:
+        # Russian roulette on the UPDATED throughput (render.py): q is
+        # differentiable (no stop_gradient in the jnp path either).
+        q = jnp.clip(jnp.maximum(jnp.maximum(ntr, ntg), ntb), 0.05, 1.0)
+        surv = surv & ~(do_rr & (u[6] >= q))
+        boost = do_rr & surv
+        ntr = jnp.where(boost, ntr / q, ntr)
+        ntg = jnp.where(boost, ntg / q, ntg)
+        ntb = jnp.where(boost, ntb / q, ntb)
+    surv_f = jnp.where(surv, 1.0, 0.0)
+    return (
+        (nox, noy, noz), (ndx, ndy, ndz), (ntr, ntg, ntb),
+        (rad_r, rad_g, rad_b), surv_f,
+    )
+
+
+def _grad_fwd_kernel(
+    # SMEM scene tables + sky + meta
+    cx_ref, cy_ref, cz_ref, rad_ref, r2_ref,
+    albr_ref, albg_ref, albb_ref, mat_ref, fuzz_ref, ior_ref,
+    sky_ref, meta_ref,
+    # VMEM ray state
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    tr_ref, tg_ref, tb_ref, rr_ref, rg_ref, rb_ref,
+    alive_ref, pix_ref, samp_ref,
+    # outputs: next state (13) + residuals (idx, attr9, mat)
+    n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
+    n_tr, n_tg, n_tb, n_rr, n_rg, n_rb, n_alive,
+    o_idx, o_cx, o_cy, o_cz, o_r, o_ar, o_ag, o_ab, o_fz, o_io, o_mat,
+    *, n_spheres: int, t_min: float, t_max: float, rr_start_depth: int,
+):
+    tables = (
+        cx_ref, cy_ref, cz_ref, rad_ref, r2_ref,
+        albr_ref, albg_ref, albb_ref, mat_ref, fuzz_ref, ior_ref,
+    )
+    alive = alive_ref[:] > 0.0
+    shape = (_SUB, _LANE)
+
+    def do_bounce():
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        (t_scan, bi, cx, cy, cz, r, ar, ag, ab, mat, fz, io) = closest_hit_scan(
+            tables, ox, oy, oz, dx, dy, dz,
+            n_spheres=n_spheres, t_min=t_min, t_max=t_max,
+        )
+        del t_scan  # the state update recomputes t differentiably
+        hit = bi >= 0
+        k0, k1, bounce = meta_ref[0], meta_ref[1], meta_ref[2]
+        u = _uniforms7(k0, k1, pix_ref[:], samp_ref[:], bounce)
+        do_rr = jnp.full(shape, bounce) >= jnp.uint32(rr_start_depth)
+        sky6 = tuple(sky_ref[i] for i in range(6))
+        a9 = (cx, cy, cz, r, ar, ag, ab, fz, io)
+        (no3, nd3, ntp3, rad3, surv_f) = bounce_tile(
+            (ox, oy, oz), (dx, dy, dz), (tr_ref[:], tg_ref[:], tb_ref[:]),
+            a9, mat, hit, alive, u, sky6, do_rr,
+            t_min=t_min, t_max=t_max, rr_on=bool(rr_start_depth),
+        )
+        n_ox[:], n_oy[:], n_oz[:] = no3
+        n_dx[:], n_dy[:], n_dz[:] = nd3
+        n_tr[:], n_tg[:], n_tb[:] = ntp3
+        n_rr[:] = rr_ref[:] + rad3[0]
+        n_rg[:] = rg_ref[:] + rad3[1]
+        n_rb[:] = rb_ref[:] + rad3[2]
+        n_alive[:] = surv_f
+        # Residuals.  idx is masked to -1 wherever this lane contributes no
+        # table cotangent (dead or miss): the bucket kernel skips chunks
+        # whose every idx is -1.
+        o_idx[:] = jnp.where(alive & hit, bi, -1)
+        o_cx[:], o_cy[:], o_cz[:], o_r[:] = cx, cy, cz, r
+        o_ar[:], o_ag[:], o_ab[:] = ar, ag, ab
+        o_fz[:], o_io[:] = fz, io
+        o_mat[:] = mat
+
+    def skip():
+        n_ox[:], n_oy[:], n_oz[:] = ox_ref[:], oy_ref[:], oz_ref[:]
+        n_dx[:], n_dy[:], n_dz[:] = dx_ref[:], dy_ref[:], dz_ref[:]
+        n_tr[:], n_tg[:], n_tb[:] = tr_ref[:], tg_ref[:], tb_ref[:]
+        n_rr[:], n_rg[:], n_rb[:] = rr_ref[:], rg_ref[:], rb_ref[:]
+        zero = jnp.zeros(shape, jnp.float32)
+        n_alive[:] = zero
+        o_idx[:] = jnp.full(shape, -1, jnp.int32)
+        o_cx[:] = zero
+        o_cy[:] = zero
+        o_cz[:] = zero
+        o_r[:] = jnp.ones(shape, jnp.float32)
+        o_ar[:] = zero
+        o_ag[:] = zero
+        o_ab[:] = zero
+        o_fz[:] = zero
+        o_io[:] = jnp.ones(shape, jnp.float32)
+        o_mat[:] = jnp.zeros(shape, jnp.int32)
+
+    jax.lax.cond(jnp.any(alive), do_bounce, skip)
+
+
+def _grad_bwd_kernel(
+    # SMEM
+    sky_ref, meta_ref,
+    # VMEM residuals for this bounce
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    tr_ref, tg_ref, tb_ref, alive_ref, idx_ref,
+    cx_ref, cy_ref, cz_ref, r_ref, ar_ref, ag_ref, ab_ref,
+    fz_ref, io_ref, mat_ref,
+    pix_ref, samp_ref,
+    # cotangents in: next-state (o, d, tp) + radiance (constant per ray)
+    cox_ref, coy_ref, coz_ref, cdx_ref, cdy_ref, cdz_ref,
+    ctr_ref, ctg_ref, ctb_ref, crr_ref, crg_ref, crb_ref,
+    # outputs: carried cotangents (9) + attr cotangents (9) + sky partials (6)
+    b_ox, b_oy, b_oz, b_dx, b_dy, b_dz, b_tr, b_tg, b_tb,
+    a_cx, a_cy, a_cz, a_r, a_ar, a_ag, a_ab, a_fz, a_io,
+    s_lor, s_log, s_lob, s_hir, s_hig, s_hib,
+    *, t_min: float, t_max: float, rr_start_depth: int,
+):
+    shape = (_SUB, _LANE)
+    sky_accs = (s_lor, s_log, s_lob, s_hir, s_hig, s_hib)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for s in sky_accs:
+            s[:] = jnp.zeros(shape, jnp.float32)
+
+    alive = alive_ref[:] > 0.0
+    idxv = idx_ref[:]
+    hit = idxv >= 0  # idx was masked by (alive & hit) in the forward
+
+    def do_bwd():
+        o3 = (ox_ref[:], oy_ref[:], oz_ref[:])
+        d3 = (dx_ref[:], dy_ref[:], dz_ref[:])
+        tp3 = (tr_ref[:], tg_ref[:], tb_ref[:])
+        a9 = (
+            cx_ref[:], cy_ref[:], cz_ref[:], r_ref[:],
+            ar_ref[:], ag_ref[:], ab_ref[:], fz_ref[:], io_ref[:],
+        )
+        mat = mat_ref[:]
+        k0, k1, bounce = meta_ref[0], meta_ref[1], meta_ref[2]
+        u = _uniforms7(k0, k1, pix_ref[:], samp_ref[:], bounce)
+        do_rr = jnp.full(shape, bounce) >= jnp.uint32(rr_start_depth)
+        sky6 = tuple(sky_ref[i] for i in range(6))
+
+        def f(o3, d3, tp3, a9):
+            return bounce_tile(
+                o3, d3, tp3, a9, mat, hit, alive, u, sky6, do_rr,
+                t_min=t_min, t_max=t_max, rr_on=bool(rr_start_depth),
+            )[:4]
+
+        _, pull = jax.vjp(f, o3, d3, tp3, a9)
+        ct_o, ct_d, ct_tp, ct_a9 = pull((
+            (cox_ref[:], coy_ref[:], coz_ref[:]),
+            (cdx_ref[:], cdy_ref[:], cdz_ref[:]),
+            (ctr_ref[:], ctg_ref[:], ctb_ref[:]),
+            (crr_ref[:], crg_ref[:], crb_ref[:]),
+        ))
+        b_ox[:], b_oy[:], b_oz[:] = ct_o
+        b_dx[:], b_dy[:], b_dz[:] = ct_d
+        b_tr[:], b_tg[:], b_tb[:] = ct_tp
+        # Defensive mask: dead lanes get exactly-zero attr cotangents (their
+        # chain is masked already; this also stops any 0*inf NaN from a
+        # degenerate adjoint on an inert lane reaching the tables).
+        attr_outs = (a_cx, a_cy, a_cz, a_r, a_ar, a_ag, a_ab, a_fz, a_io)
+        for ref, ct in zip(attr_outs, ct_a9):
+            ref[:] = jnp.where(hit, ct, 0.0)
+        # Sky cotangent partials (rad_c = tp_c * lerp(lo_c, hi_c, s01) * miss).
+        miss_f = jnp.where(alive & ~hit, 1.0, 0.0)
+        s01 = 0.5 * (d3[1] + 1.0)
+        w_lo = miss_f * (1.0 - s01)
+        w_hi = miss_f * s01
+        ctrad = (crr_ref[:], crg_ref[:], crb_ref[:])
+        for c in range(3):
+            sky_accs[c][:] = sky_accs[c][:] + ctrad[c] * tp3[c] * w_lo
+            sky_accs[3 + c][:] = sky_accs[3 + c][:] + ctrad[c] * tp3[c] * w_hi
+
+    def skip():
+        # Fully-dead block: the bounce was the identity on (o, d, tp).
+        b_ox[:], b_oy[:], b_oz[:] = cox_ref[:], coy_ref[:], coz_ref[:]
+        b_dx[:], b_dy[:], b_dz[:] = cdx_ref[:], cdy_ref[:], cdz_ref[:]
+        b_tr[:], b_tg[:], b_tb[:] = ctr_ref[:], ctg_ref[:], ctb_ref[:]
+        zero = jnp.zeros(shape, jnp.float32)
+        for ref in (a_cx, a_cy, a_cz, a_r, a_ar, a_ag, a_ab, a_fz, a_io):
+            ref[:] = zero
+
+    jax.lax.cond(jnp.any(alive), do_bwd, skip)
+
+
+def _vma_union(*arrays):
+    vma = frozenset()
+    for a in arrays:
+        vma |= getattr(jax.typeof(a), "vma", frozenset())
+    return vma
+
+
+def _cast_vma(x, vma):
+    """Promote a fresh constant to the given varying-mesh-axes set (identity
+    outside shard_map) — scan carries must match their body outputs' vma."""
+    missing = vma - getattr(jax.typeof(x), "vma", frozenset())
+    return jax.lax.pcast(x, tuple(missing), to="varying") if missing else x
+
+
+def _pack_cols(a, n, pad_value=0.0):
+    """[N]-ish column -> (rows, 128) tile array, padded to a 1024 multiple."""
+    n_pad = -(-n // _BLOCK) * _BLOCK
+    if n_pad != n:
+        a = jnp.concatenate([a, jnp.full((n_pad - n,), pad_value, a.dtype)])
+    return a.reshape(n_pad // _LANE, _LANE)
+
+
+def trace_rays_fused(origins, dirs, keys, scene, config):
+    """Differentiable whole-trace radiance via the fused Pallas fwd/bwd.
+
+    Drop-in for render.trace_rays under jax.grad (config.use_pallas_grad):
+    same radiance values as the jnp bounce (to fp tolerance), same gradient
+    semantics (discrete hit/branch selection locally constant; t, normal,
+    attenuation, throughput, sky differentiable), ~an order of magnitude
+    faster fwd+bwd on a v5e chip.
+    """
+    n = origins.shape[0]
+    interpret = bool(config.pallas_interpret)
+
+    ox = _pack_cols(origins[:, 0], n)
+    oy = _pack_cols(origins[:, 1], n)
+    oz = _pack_cols(origins[:, 2], n)
+    dx = _pack_cols(dirs[:, 0], n)
+    dy = _pack_cols(dirs[:, 1], n)
+    # Padding lanes get dz=1 so direction math stays finite; alive=0 makes
+    # them inert.
+    dz = _pack_cols(dirs[:, 2], n, pad_value=1.0)
+    alive0 = _pack_cols(jnp.ones((n,), jnp.float32), n)
+    pix = _pack_cols(keys.pixel, n)
+    samp = _pack_cols(keys.sample, n)
+
+    tables = (
+        scene.centers[:, 0], scene.centers[:, 1], scene.centers[:, 2],
+        scene.radii, jax.lax.stop_gradient(scene.radii * scene.radii),
+        scene.albedo[:, 0], scene.albedo[:, 1], scene.albedo[:, 2],
+        scene.material.astype(jnp.int32), scene.fuzz, scene.ior,
+    )
+    sky6 = jnp.concatenate([scene.sky_lo, scene.sky_hi]).astype(jnp.float32)
+
+    rad3 = _fused_trace(
+        ox, oy, oz, dx, dy, dz, alive0, pix, samp,
+        keys.k0, keys.k1, tables, sky6,
+        depth=int(config.max_depth), t_min=float(config.t_min),
+        t_max=float(config.t_max),
+        rr_start_depth=int(config.rr_start_depth), interpret=interpret,
+    )
+    return jnp.stack([r.reshape(-1)[:n] for r in rad3], axis=-1)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17)
+)
+def _fused_trace(
+    ox, oy, oz, dx, dy, dz, alive0, pix, samp, k0, k1, tables, sky6,
+    depth, t_min, t_max, rr_start_depth, interpret,
+):
+    rad3, _ = _fused_fwd_impl(
+        ox, oy, oz, dx, dy, dz, alive0, pix, samp, k0, k1, tables, sky6,
+        depth, t_min, t_max, rr_start_depth, interpret,
+    )
+    return rad3
+
+
+def _fused_fwd_impl(
+    ox, oy, oz, dx, dy, dz, alive0, pix, samp, k0, k1, tables, sky6,
+    depth, t_min, t_max, rr_start_depth, interpret,
+):
+    rows = ox.shape[0]
+    tables = pad_scene_tables(tables)
+    s_pad = tables[0].shape[0]
+    pix_u = pix.astype(jnp.uint32)
+    samp_u = samp.astype(jnp.uint32)
+    k0u = jnp.asarray(k0, jnp.uint32)
+    k1u = jnp.asarray(k1, jnp.uint32)
+
+    kernel = functools.partial(
+        _grad_fwd_kernel, n_spheres=s_pad, t_min=t_min, t_max=t_max,
+        rr_start_depth=rr_start_depth,
+    )
+    blk = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vma = _vma_union(ox, dy, alive0, pix, samp, k0, k1, *tables, sky6)
+    f32out = jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma)
+    i32out = jax.ShapeDtypeStruct((rows, _LANE), jnp.int32, vma=vma)
+
+    zero = ox * 0.0
+    one = zero + 1.0
+    state0 = tuple(
+        _cast_vma(s, vma)
+        for s in (ox, oy, oz, dx, dy, dz, one, one, one, zero, zero, zero, alive0)
+    )
+
+    def body(st, b):
+        meta3 = jnp.stack([k0u, k1u, b]).astype(jnp.uint32)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(rows // _SUB,),
+            in_specs=[smem] * 13 + [blk] * 15,
+            out_specs=tuple([blk] * 24),
+            out_shape=(f32out,) * 13 + (i32out,) + (f32out,) * 9 + (i32out,),
+            cost_estimate=pl.CostEstimate(
+                flops=35 * rows * _LANE * s_pad,
+                bytes_accessed=52 * 4 * rows * _LANE,
+                transcendentals=8 * rows * _LANE,
+            ),
+            interpret=interpret,
+        )(*tables, sky6, meta3, *st, pix_u, samp_u)
+        nxt = tuple(outs[:13])
+        resid = (st[0], st[1], st[2], st[3], st[4], st[5],
+                 st[6], st[7], st[8], st[12],
+                 outs[13], *outs[14:23], outs[23])
+        return nxt, resid
+
+    final, resids = jax.lax.scan(
+        body, state0, jnp.arange(depth, dtype=jnp.uint32)
+    )
+    rad3 = (final[9], final[10], final[11])
+    res = (resids, pix_u, samp_u, k0u, k1u, sky6)
+    return rad3, res
+
+
+def _fused_fwd_rule(
+    ox, oy, oz, dx, dy, dz, alive0, pix, samp, k0, k1, tables, sky6,
+    depth, t_min, t_max, rr_start_depth, interpret,
+):
+    rad3, res = _fused_fwd_impl(
+        ox, oy, oz, dx, dy, dz, alive0, pix, samp, k0, k1, tables, sky6,
+        depth, t_min, t_max, rr_start_depth, interpret,
+    )
+    s_real = tables[0].shape[0]
+    return rad3, (res, s_real)
+
+
+def _fused_bwd_rule(depth, t_min, t_max, rr_start_depth, interpret, resaux, ct):
+    from .pallas_bucket import bucket_cols_pallas
+
+    (resids, pix_u, samp_u, k0u, k1u, sky6), s_real = resaux
+    ctr, ctg, ctb = ct
+    rows = ctr.shape[0]
+    s_pad = -(-s_real // 16) * 16  # pad_scene_tables multiple
+
+    kernel = functools.partial(
+        _grad_bwd_kernel, t_min=t_min, t_max=t_max,
+        rr_start_depth=rr_start_depth,
+    )
+    blk = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    pinned = pl.BlockSpec((_SUB, _LANE), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vma = _vma_union(ctr, pix_u, samp_u, k0u, k1u, sky6, *jax.tree.leaves(resids))
+    f32out = jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma)
+    sky_out = jax.ShapeDtypeStruct((_SUB, _LANE), jnp.float32, vma=vma)
+
+    zero = ctr * 0.0
+    carry0 = (
+        (zero, zero, zero), (zero, zero, zero), (zero, zero, zero),
+        _cast_vma(jnp.zeros((s_pad, 9), jnp.float32), vma),
+        tuple(_cast_vma(jnp.zeros((_SUB, _LANE), jnp.float32), vma)
+              for _ in range(6)),
+    )
+
+    def body(carry, xs):
+        (cto, ctd, cttp, d_tab, sky_acc) = carry
+        resid, b = xs
+        meta3 = jnp.stack([k0u, k1u, b]).astype(jnp.uint32)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(rows // _SUB,),
+            in_specs=[smem] * 2 + [blk] * 35,
+            out_specs=tuple([blk] * 18) + tuple([pinned] * 6),
+            out_shape=(f32out,) * 18 + (sky_out,) * 6,
+            cost_estimate=pl.CostEstimate(
+                flops=400 * rows * _LANE,
+                bytes_accessed=58 * 4 * rows * _LANE,
+                transcendentals=16 * rows * _LANE,
+            ),
+            interpret=interpret,
+        )(
+            sky6, meta3, *resid, pix_u, samp_u,
+            *cto, *ctd, *cttp, ctr, ctg, ctb,
+        )
+        ncto = tuple(outs[0:3])
+        nctd = tuple(outs[3:6])
+        ncttp = tuple(outs[6:9])
+        cta9 = outs[9:18]
+        sky_part = outs[18:24]
+        idx = resid[10]
+        d_tab = d_tab + bucket_cols_pallas(
+            cta9, idx, s_pad, interpret=interpret
+        )
+        sky_acc = tuple(a + p for a, p in zip(sky_acc, sky_part))
+        return (ncto, nctd, ncttp, d_tab, sky_acc), None
+
+    (cto, ctd, cttp, d_tab, sky_acc), _ = jax.lax.scan(
+        body, carry0, (resids, jnp.arange(depth, dtype=jnp.uint32)),
+        reverse=True,
+    )
+    d_tab = d_tab[:s_real]
+    d_sky6 = jnp.stack([jnp.sum(a) for a in sky_acc])
+
+    def f0(x):
+        return np.zeros(x.shape, jax.dtypes.float0)
+
+    d_tables = (
+        d_tab[:, 0], d_tab[:, 1], d_tab[:, 2], d_tab[:, 3],
+        d_tab[:, 3] * 0.0,            # r2 (scan-only, detached)
+        d_tab[:, 4], d_tab[:, 5], d_tab[:, 6],
+        np.zeros((s_real,), jax.dtypes.float0),   # material (int)
+        d_tab[:, 7], d_tab[:, 8],
+    )
+    return (
+        cto[0], cto[1], cto[2], ctd[0], ctd[1], ctd[2],
+        jnp.zeros_like(ctr),           # alive0
+        f0(pix_u), f0(samp_u), f0(k0u), f0(k1u),
+        d_tables, d_sky6,
+    )
+
+
+_fused_trace.defvjp(_fused_fwd_rule, _fused_bwd_rule)

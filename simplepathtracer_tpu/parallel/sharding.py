@@ -119,6 +119,35 @@ def render_sharded(scene: Scene, camera: Camera, config: RenderConfig, key, mesh
 _DIFF_LEAVES = ("centers", "radii", "albedo", "fuzz", "ior", "sky_lo", "sky_hi")
 
 
+@jax.custom_vjp
+def _psum_samples_unchecked(x):
+    """psum over "samples" with the *correct* adjoint under check_vma=False.
+
+    With vma tracking off, JAX transposes ``psum`` into another ``psum`` —
+    but the cotangent here is sample-invariant (the loss depends only on the
+    reduced value), so that transpose inflates it by the axis size.  The true
+    adjoint of an all-reduce onto a varying input, given an invariant
+    cotangent, is the identity broadcast — which is exactly what the checked
+    mode's transpose (an unvarying->varying cast) computes.  Measured: without
+    this, sharded fused grads were n_samples× too large on each shard's own
+    rays (and wrong after any single-axis correction).
+    """
+    return jax.lax.psum(x, "samples")
+
+
+def _psum_samples_unchecked_fwd(x):
+    return jax.lax.psum(x, "samples"), None
+
+
+def _psum_samples_unchecked_bwd(_, ct):
+    return (ct,)
+
+
+_psum_samples_unchecked.defvjp(
+    _psum_samples_unchecked_fwd, _psum_samples_unchecked_bwd
+)
+
+
 def split_scene(scene: Scene):
     """Split a Scene into (differentiable params dict, static remainder)."""
     params = {k: getattr(scene, k) for k in _DIFF_LEAVES}
@@ -149,6 +178,13 @@ def loss_and_grad_sharded(
     p_local, s_local = _block_sizes(config, mesh)
     p_total = config.num_pixels
     inv_spp = 1.0 / config.spp
+    # The Pallas *interpreter* (CPU tests) evaluates kernel jaxprs without
+    # replaying implicit varying-axis casts and trips the vma checker;
+    # compiled TPU kernels lower to a custom call and keep full checking.
+    vma_checked = not (
+        (config.use_pallas_hits or config.use_pallas_grad)
+        and config.pallas_interpret
+    )
 
     def body(scene, camera, key, target_local):
         ti = jax.lax.axis_index("tiles")
@@ -162,8 +198,12 @@ def loss_and_grad_sharded(
                 sc, camera, config, key, pixel_ids, si * s_local, s_local
             )
             # Cross-sample mean must happen before squaring: psum over the
-            # sample axis inside the differentiated function.
-            mean = jax.lax.psum(acc, "samples") * inv_spp
+            # sample axis inside the differentiated function.  Unchecked
+            # mode needs the custom adjoint (see _psum_samples_unchecked).
+            if vma_checked:
+                mean = jax.lax.psum(acc, "samples") * inv_spp
+            else:
+                mean = _psum_samples_unchecked(acc) * inv_spp
             return jnp.sum((mean - target_local) ** 2) / (p_total * 3)
 
         loss, grads = jax.value_and_grad(local_loss)(params)
@@ -173,6 +213,15 @@ def loss_and_grad_sharded(
         # mesh axes when transposing the implicit broadcast — no explicit
         # all-reduce needed (adding one would multiply by the shard count).
         loss = jax.lax.psum(loss, "tiles")
+        if not vma_checked:
+            # With check_vma=False the transpose of the replicated-params
+            # broadcast does NOT insert a psum (vma tracking is off), so each
+            # shard's grads cover only its own (tile, sample) rays — with the
+            # sample-axis adjoint corrected by _psum_samples_unchecked, the
+            # full gradient is the explicit all-reduce over BOTH mesh axes.
+            # With check_vma=True autodiff inserts this psum itself and this
+            # block must not run (it would multiply by the shard count).
+            grads = jax.lax.psum(grads, ("tiles", "samples"))
         return loss, grads
 
     f = shard_map(
@@ -180,11 +229,7 @@ def loss_and_grad_sharded(
         mesh=mesh,
         in_specs=(P(), P(), P(), P("tiles")),
         out_specs=(P(), P()),
-        # The Pallas *interpreter* (CPU tests) evaluates the closest-hit
-        # kernel jaxpr without replaying implicit varying-axis casts and
-        # trips the checker; compiled TPU kernels lower to a custom call and
-        # keep full vma checking.
-        check_vma=not (config.use_pallas_hits and config.pallas_interpret),
+        check_vma=vma_checked,
     )
     target_flat = target.reshape(p_total, 3)
     return f(scene, camera, key, target_flat)

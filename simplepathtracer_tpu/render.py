@@ -119,14 +119,14 @@ def grad_safe_config(config: RenderConfig) -> RenderConfig:
     """
     if not config.use_pallas:
         return config
-    # The closest-hit kernel needs real TPU hardware (or interpret mode) —
-    # on CPU without interpret, fall back to the pure-jnp intersection.
-    use_hits = (
-        config.use_pallas_hits
-        or config.pallas_interpret
-        or jax.default_backend() == "tpu"
+    # The gradient kernels need real TPU hardware (or interpret mode) — on
+    # CPU without interpret, fall back to the pure-jnp bounce.
+    on_kernel_backend = config.pallas_interpret or jax.default_backend() == "tpu"
+    return config.replace(
+        use_pallas=False,
+        use_pallas_grad=config.use_pallas_grad or on_kernel_backend,
+        use_pallas_hits=config.use_pallas_hits or on_kernel_backend,
     )
-    return config.replace(use_pallas=False, use_pallas_hits=use_hits)
 
 
 def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
@@ -139,6 +139,17 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
     """
     if config.use_pallas:
         return trace_rays_pallas(origins, dirs, keys, scene, config)
+
+    if config.use_pallas_grad:
+        # Fully-fused differentiable path: forward AND backward bounce run
+        # as Pallas kernels (ops/pallas_grad.py) — same gradient semantics
+        # as the jnp bounce below, ~an order of magnitude faster fwd+bwd.
+        from .ops.pallas_grad import trace_rays_fused
+
+        rad = trace_rays_fused(origins, dirs, keys, scene, config)
+        if config.silhouette_softness > 0.0:
+            rad = _soft_silhouette_blend(origins, dirs, rad, scene, config)
+        return rad
 
     if config.use_pallas_hits:
         attr9 = pack_tables(scene)

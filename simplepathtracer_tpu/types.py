@@ -150,6 +150,12 @@ class RenderConfig:
     # kernel (detached) + differentiable [N]-sized hit reconstruction, so
     # value_and_grad skips the [rays, spheres] matmul work entirely.
     use_pallas_hits: bool = False
+    # Fully-fused differentiable path: BOTH the forward bounce and its
+    # adjoint run as Pallas kernels (ops/pallas_grad.py), with table
+    # cotangents bucket-accumulated on the MXU.  Fastest fwd+bwd path;
+    # gradient semantics identical to the jnp bounce.  Takes precedence
+    # over use_pallas_hits (use_pallas still wins for forward-only runs).
+    use_pallas_grad: bool = False
     pallas_interpret: bool = False  # run the kernels interpreted (CPU tests)
     # Soft-silhouette blend width for the first bounce (0 = hard edges).
     # Used by inverse rendering to recover geometry gradients at visibility
