@@ -32,9 +32,11 @@ sys.path.insert(0, REPO)
 WIDTH, HEIGHT, DEPTH = 1200, 800, 10
 WARMUP_SPP = 4
 BENCH_SPP = 100
-# 1 spp: the gradient path saves [spp*W*H]-sized per-bounce residuals; 4 spp
-# needs ~17 GB HBM (> the 15.75 GB v5e) — production training steps
-# microbatch spp with grad accumulation anyway (inverse.fit).
+# 1 spp: the fused gradient path (use_pallas_grad) saves 21 [spp*W*H]-sized
+# f32 residual tiles per bounce (~840 MB/spp at depth 10) and its per-path
+# cost is spp-flat, so 1 spp is both representative and round-over-round
+# comparable — production training steps microbatch spp with grad
+# accumulation anyway (inverse.fit).
 GRAD_SPP = 1
 
 

@@ -46,6 +46,9 @@ def _bucket_kernel(ctt_ref, idx_ref, out_ref, *, n_sphere_chunks: int):
     # Dead-chunk skip: idx rows that can contribute a nonzero cotangent are
     # >= 0 (the gradient kernels mask dead/miss lanes to -1 and their ct is
     # exactly zero).  By the late bounces most chunks are fully dead.
+    # (A per-chunk pl.when skip was tried here — 31 conditional MXU regions
+    # pushed the Mosaic compile past 9 minutes for a few-ms win.  The
+    # block-level any(idx >= 0) gate keeps compile at seconds.)
     @pl.when(jnp.any(idx >= 0))
     def _accumulate():
         ctt = ctt_ref[:]

@@ -355,6 +355,53 @@ def _balanced_perm(counts):
     return order[rank]
 
 
+def _coherent_pixel_order(pixel_ids, config):
+    """Reorder a row-aligned pixel block into spatial-tile order.
+
+    The fused Pallas gradient kernels skip fully-dead (8, 128) ray blocks
+    (``lax.cond`` on any-alive); in row-major order each 1024-ray block
+    spans almost a full image row, so nearly every block keeps one live
+    lane at every bounce and the per-bounce sphere scan runs at no-skip
+    cost (measured 95.8 ms forward at 1200x800 depth 10 — ~10 effective
+    full scans for a ~2.7-bounce mean path).  Tile order groups each block
+    into a ~32x32 pixel square that dies as a unit (sky tiles after bounce
+    0, diffuse ground after 2-3 bounces).
+
+    Pure reshape/transposes — no gathers (XLA TPU gather on [N]-sized
+    operands is ~30 M elem/s, which would eat the win).  Per-ray radiance
+    is unchanged (all randomness is keyed by the carried pixel/sample
+    ids), only its layout; ``unpermute`` restores pixel order.  Returns
+    the identity when the block is not a whole number of image rows.
+    """
+    p = pixel_ids.shape[0]
+    w = config.width
+    identity = (pixel_ids, lambda rad: rad)
+    if p % w:
+        return identity
+    rows = p // w
+    tr = max(d for d in range(1, min(rows, 32) + 1) if rows % d == 0)
+    tc = max(
+        (d for d in range(1, w + 1) if w % d == 0 and d * tr <= 1024),
+        default=0,
+    )
+    if tr * tc < 256:
+        return identity
+    pids = (
+        pixel_ids.reshape(rows // tr, tr, w // tc, tc)
+        .transpose(0, 2, 1, 3)
+        .reshape(p)
+    )
+
+    def unpermute(rad):
+        return (
+            rad.reshape(rows // tr, w // tc, tr, tc, 3)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(p, 3)
+        )
+
+    return pids, unpermute
+
+
 def render_pixel_block(scene, camera, config, key, pixel_ids, sample_offset, n_samples):
     """Radiance sum over ``n_samples`` consecutive sample ids for an explicit
     block of pixels. Returns [len(pixel_ids), 3] radiance sum (not averaged).
@@ -374,6 +421,10 @@ def render_pixel_block(scene, camera, config, key, pixel_ids, sample_offset, n_s
             scene, camera, config, key, pixel_ids, sample_offset, n_samples
         )
 
+    unperm = lambda rad: rad  # noqa: E731
+    if config.use_pallas_grad:
+        pixel_ids, unperm = _coherent_pixel_order(pixel_ids, config)
+
     p = pixel_ids.shape[0]
     chunk = config.spp_chunk or n_samples
     chunk = min(chunk, n_samples)
@@ -389,7 +440,7 @@ def render_pixel_block(scene, camera, config, key, pixel_ids, sample_offset, n_s
 
     acc0 = _vary_like(jnp.zeros((p, 3), jnp.float32), (pixel_ids, sample_offset, key))
     acc, _ = jax.lax.scan(step, acc0, jnp.arange(n_steps))
-    return acc
+    return unperm(acc)
 
 
 def render_sample_batch(scene, camera, config, key, sample_offset, n_samples):
@@ -401,12 +452,16 @@ def render_sample_batch(scene, camera, config, key, sample_offset, n_samples):
             scene, camera, config, key, pixel_ids, sample_offset, n_samples
         )
     p = config.num_pixels
-    pixel_ids = jnp.tile(jnp.arange(p, dtype=jnp.int32), (n_samples,))
+    base_ids = jnp.arange(p, dtype=jnp.int32)
+    unperm = lambda rad: rad  # noqa: E731
+    if config.use_pallas_grad:
+        base_ids, unperm = _coherent_pixel_order(base_ids, config)
+    pixel_ids = jnp.tile(base_ids, (n_samples,))
     sample_ids = jnp.repeat(
         sample_offset + jnp.arange(n_samples, dtype=jnp.int32), p
     )
     rad = render_pixels(scene, camera, config, key, pixel_ids, sample_ids)
-    return jnp.sum(rad.reshape(n_samples, p, 3), axis=0)
+    return unperm(jnp.sum(rad.reshape(n_samples, p, 3), axis=0))
 
 
 def init_state(config: RenderConfig, key) -> RenderState:

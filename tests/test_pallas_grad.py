@@ -121,3 +121,23 @@ def test_sharded_train_step_fused():
     for k in grads_ref:
         err = _rel_l2(np.asarray(grads_fused[k]), np.asarray(grads_ref[k]))
         assert err < 2e-3, f"leaf {k}: relative L2 grad error {err}"
+
+
+def test_coherent_pixel_order_roundtrip():
+    """Tile reorder is a bijection and unpermute inverts it exactly."""
+    from simplepathtracer_tpu.render import _coherent_pixel_order
+
+    cfg = spt.RenderConfig(width=48, height=24, spp=1)
+    pids0 = jnp.arange(cfg.num_pixels, dtype=jnp.int32)
+    pids, unperm = _coherent_pixel_order(pids0, cfg)
+    assert sorted(np.asarray(pids).tolist()) == list(range(cfg.num_pixels))
+    # Scatter each ray's own pixel id as its "radiance": after unpermute,
+    # entry p must hold p.
+    rad = jnp.stack([pids.astype(jnp.float32)] * 3, axis=-1)
+    out = np.asarray(unperm(rad))
+    np.testing.assert_array_equal(out[:, 0], np.arange(cfg.num_pixels))
+
+    # Non-row-aligned block: identity fallback.
+    odd = jnp.arange(100, dtype=jnp.int32)
+    pids2, unperm2 = _coherent_pixel_order(odd, cfg)
+    np.testing.assert_array_equal(np.asarray(pids2), np.asarray(odd))
