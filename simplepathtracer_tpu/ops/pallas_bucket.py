@@ -52,18 +52,31 @@ def _bucket_kernel(ctt_ref, idx_ref, out_ref, *, n_sphere_chunks: int):
     @pl.when(jnp.any(idx >= 0))
     def _accumulate():
         ctt = ctt_ref[:]
+        # Manual bf16x3 split of the cotangent (Mosaic dots only support
+        # DEFAULT and HIGHEST): the one-hot side is EXACT in bf16 (0/1), so
+        # three native bf16 passes recover all 24 mantissa bits of ct —
+        # same result class as HIGHEST (x6 passes) at half the MXU passes.
+        # f32 accumulation throughout (preferred_element_type).  Measured
+        # 121.8 -> 119.4 ms on the fwd+bwd step: the kernel is mostly
+        # bound by the VPU one-hot build + the M=16-row MXU shape, not by
+        # pass count, so the win is real but modest.
+        c1 = ctt.astype(jnp.bfloat16)
+        r1 = ctt - c1.astype(jnp.float32)
+        c2 = r1.astype(jnp.bfloat16)
+        c3 = (r1 - c2.astype(jnp.float32)).astype(jnp.bfloat16)
         lane = jax.lax.broadcasted_iota(jnp.int32, (_RAYS, _SCH), dimension=1)
         for c in range(n_sphere_chunks):
-            onehot = (idx == lane + c * _SCH).astype(jnp.float32)  # [_RAYS, _SCH]
-            # [K_pad, _RAYS] @ [_RAYS, _SCH] -> [K_pad, _SCH] on the MXU.
-            # HIGHEST: one-hot entries are exact, so only the cotangent itself
-            # rounds — keep it f32-exact for the FD gradient tests.
-            part = jax.lax.dot_general(
-                ctt, onehot,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            onehot = (idx == lane + c * _SCH).astype(jnp.bfloat16)  # [_RAYS, _SCH]
+
+            def dot(a):
+                # [K_pad, _RAYS] @ [_RAYS, _SCH] -> [K_pad, _SCH] on the MXU.
+                return jax.lax.dot_general(
+                    a, onehot,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            part = dot(c1) + dot(c2) + dot(c3)
             out_ref[:, c * _SCH:(c + 1) * _SCH] = (
                 out_ref[:, c * _SCH:(c + 1) * _SCH] + part
             )
