@@ -34,8 +34,9 @@ _RAYS = 512     # rays per grid step (contraction depth per dot)
 _SCH = 128      # sphere chunk (one-hot lane width)
 
 
-def _bucket_kernel(ctt_ref, idx_ref, out_ref, *, n_sphere_chunks: int):
-    """ctt_ref: (K_pad, _RAYS) f32; idx_ref: (_RAYS, 1) i32;
+def _bucket_kernel(ctt_ref, idx_ref, out_ref, *, n_sphere_chunks: int,
+                   rays: int = _RAYS):
+    """ctt_ref: (K_pad, rays) f32; idx_ref: (rays, 1) i32;
     out_ref: (K_pad, n_sphere_chunks * _SCH) f32 accumulator."""
 
     @pl.when(pl.program_id(0) == 0)
@@ -64,12 +65,12 @@ def _bucket_kernel(ctt_ref, idx_ref, out_ref, *, n_sphere_chunks: int):
         r1 = ctt - c1.astype(jnp.float32)
         c2 = r1.astype(jnp.bfloat16)
         c3 = (r1 - c2.astype(jnp.float32)).astype(jnp.bfloat16)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (_RAYS, _SCH), dimension=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rays, _SCH), dimension=1)
         for c in range(n_sphere_chunks):
-            onehot = (idx == lane + c * _SCH).astype(jnp.bfloat16)  # [_RAYS, _SCH]
+            onehot = (idx == lane + c * _SCH).astype(jnp.bfloat16)  # [rays, _SCH]
 
             def dot(a):
-                # [K_pad, _RAYS] @ [_RAYS, _SCH] -> [K_pad, _SCH] on the MXU.
+                # [K_pad, rays] @ [rays, _SCH] -> [K_pad, _SCH] on the MXU.
                 return jax.lax.dot_general(
                     a, onehot,
                     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -80,6 +81,19 @@ def _bucket_kernel(ctt_ref, idx_ref, out_ref, *, n_sphere_chunks: int):
             out_ref[:, c * _SCH:(c + 1) * _SCH] = (
                 out_ref[:, c * _SCH:(c + 1) * _SCH] + part
             )
+
+
+def _rays_per_step(n: int) -> int:
+    """Largest supported contraction depth dividing n.
+
+    Bigger steps mean fewer grid iterations, fewer out-block RMW round
+    trips, and deeper (better-pipelined) MXU contractions; 512 is the
+    floor every padded ray count divides.
+    """
+    for r in (4096, 2048, 1024):
+        if n % r == 0:
+            return r
+    return _RAYS
 
 
 @functools.partial(jax.jit, static_argnames=("n_buckets", "interpret"))
@@ -103,12 +117,15 @@ def bucket_rows_pallas(ct, idx, n_buckets: int, interpret: bool = False):
     for a in (ct, idx):
         vma |= getattr(jax.typeof(a), "vma", frozenset())
 
+    rays = _rays_per_step(n_pad)
     out = pl.pallas_call(
-        functools.partial(_bucket_kernel, n_sphere_chunks=s_pad // _SCH),
-        grid=(n_pad // _RAYS,),
+        functools.partial(
+            _bucket_kernel, n_sphere_chunks=s_pad // _SCH, rays=rays
+        ),
+        grid=(n_pad // rays,),
         in_specs=[
-            pl.BlockSpec((k_pad, _RAYS), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_RAYS, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, rays), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rays, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (k_pad, s_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
@@ -154,12 +171,15 @@ def bucket_cols_pallas(cols, idx_tiles, n_buckets: int, interpret: bool = False)
     for a in (*cols, idx_tiles):
         vma |= getattr(jax.typeof(a), "vma", frozenset())
 
+    rays = _rays_per_step(n)
     out = pl.pallas_call(
-        functools.partial(_bucket_kernel, n_sphere_chunks=s_pad // _SCH),
-        grid=(n // _RAYS,),
+        functools.partial(
+            _bucket_kernel, n_sphere_chunks=s_pad // _SCH, rays=rays
+        ),
+        grid=(n // rays,),
         in_specs=[
-            pl.BlockSpec((k_pad, _RAYS), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_RAYS, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, rays), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rays, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (k_pad, s_pad), lambda i: (0, 0), memory_space=pltpu.VMEM

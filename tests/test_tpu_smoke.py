@@ -51,6 +51,47 @@ def test_closest_hit_kernel_matches_jnp_compiled():
     )
     d = np.abs(a - b)
     # Same math modulo the kernel's NaN-trick discriminant test; knife-edge
-    # pixels may flip single samples.
-    assert d.mean() < 1e-4, f"mean diff {d.mean()}"
+    # pixels may flip single samples, and at 48x48@2spp ONE flipped sample
+    # moves the mean by ~2e-4 (measured 1.5e-4 on the real chip, with the
+    # 99th percentile at fp-noise level) — so bound the mean loosely and
+    # the typical error tightly.  Real Mosaic divergence is pervasive, not
+    # two pixels.
+    assert d.mean() < 1e-3, f"mean diff {d.mean()}"
+    assert np.quantile(d, 0.99) < 1e-5, f"p99 diff {np.quantile(d, 0.99)}"
     assert (d > 1e-3).mean() < 5e-3, f"outlier fraction {(d > 1e-3).mean()}"
+
+
+def test_fused_grad_kernels_match_jnp_compiled():
+    """Compiled fused fwd+bwd (use_pallas_grad) vs jnp autodiff gradients.
+
+    Small scene + low depth keeps knife-edge chaos out of the comparison
+    (at production scale the divergence between ANY two fp orderings is
+    dominated by grazing-hit sign flips; see BASELINE.md round-2 notes).
+    """
+    import jax.numpy as jnp
+
+    from simplepathtracer_tpu import inverse
+
+    scene = spt.three_sphere_scene(hollow_glass=True)
+    cam = spt.make_camera(origin=(0, 0, -1), lookat=(0, 0, 1), vfov_deg=60.0)
+    cfg = spt.RenderConfig(width=64, height=32, spp=2, max_depth=5)
+    fused = cfg.replace(use_pallas_grad=True)
+    key = jax.random.PRNGKey(7)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    params, static_scene = inverse.split_params(scene)
+
+    def grads(c):
+        loss, g = jax.value_and_grad(inverse.pixel_loss)(
+            params, static_scene, target, cam, c, key
+        )
+        return float(loss), {k: np.asarray(v) for k, v in g.items()}
+
+    loss_ref, g_ref = grads(cfg)
+    loss_fused, g_fused = grads(fused)
+    assert abs(loss_fused - loss_ref) < 1e-5 + 1e-3 * abs(loss_ref)
+    for k in g_ref:
+        assert np.isfinite(g_fused[k]).all(), f"non-finite grad for {k}"
+        err = np.linalg.norm(g_fused[k] - g_ref[k]) / (
+            np.linalg.norm(g_ref[k]) + 1e-12
+        )
+        assert err < 2e-3, f"leaf {k}: relative L2 grad error {err}"
