@@ -106,6 +106,11 @@ def trace_rays_pallas(origins, dirs, keys, scene: Scene, config: RenderConfig):
     )
 
 
+# Rays differentiated per rematerialized spp chunk (~1.7 GB of fused-path
+# residuals at depth 10) — see grad_safe_config.
+_GRAD_RAY_BUDGET = 2_000_000
+
+
 def grad_safe_config(config: RenderConfig) -> RenderConfig:
     """Downgrade a config for use under ``jax.grad``.
 
@@ -116,17 +121,31 @@ def grad_safe_config(config: RenderConfig) -> RenderConfig:
     reconstruction — is enabled in its place: a preset tuned for fast
     forward rendering (use_pallas=True) keeps its speed intent on the
     gradient path instead of crashing deep inside shard_map.
+
+    Also bounds the differentiated rays per chunk: the backward pass keeps
+    per-(ray, bounce) residuals alive (the fused Pallas path: 21 f32 tiles
+    per ray per bounce ≈ 840 MB per bench-scale spp), so a preset-sized
+    spp rendered in one monolithic batch would OOM the chip under
+    value_and_grad.  If the user set no spp_chunk, pick one that keeps a
+    chunk's rays near _GRAD_RAY_BUDGET (render_pixel_block remats each
+    chunk, so total residual memory is one chunk's worth).
     """
-    if not config.use_pallas:
-        return config
-    # The gradient kernels need real TPU hardware (or interpret mode) — on
-    # CPU without interpret, fall back to the pure-jnp bounce.
-    on_kernel_backend = config.pallas_interpret or jax.default_backend() == "tpu"
-    return config.replace(
-        use_pallas=False,
-        use_pallas_grad=config.use_pallas_grad or on_kernel_backend,
-        use_pallas_hits=config.use_pallas_hits or on_kernel_backend,
-    )
+    if config.use_pallas:
+        # The gradient kernels need real TPU hardware (or interpret mode) —
+        # on CPU without interpret, fall back to the pure-jnp bounce.
+        on_kernel_backend = (
+            config.pallas_interpret or jax.default_backend() == "tpu"
+        )
+        config = config.replace(
+            use_pallas=False,
+            use_pallas_grad=config.use_pallas_grad or on_kernel_backend,
+            use_pallas_hits=config.use_pallas_hits or on_kernel_backend,
+        )
+    if config.spp_chunk == 0:
+        max_chunk = max(1, _GRAD_RAY_BUDGET // config.num_pixels)
+        if config.spp > max_chunk:
+            config = config.replace(spp_chunk=max_chunk)
+    return config
 
 
 def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
@@ -428,8 +447,12 @@ def render_pixel_block(scene, camera, config, key, pixel_ids, sample_offset, n_s
     p = pixel_ids.shape[0]
     chunk = config.spp_chunk or n_samples
     chunk = min(chunk, n_samples)
-    n_steps, rem = divmod(n_samples, chunk)
-    assert rem == 0, "n_samples must be divisible by spp_chunk"
+    if n_samples % chunk:
+        # spp_chunk is an upper bound, not a contract: a sharded call sees
+        # n_samples = spp / mesh_samples, which the configured chunk need
+        # not divide.  Use the largest divisor that fits.
+        chunk = next(c for c in range(chunk, 0, -1) if n_samples % c == 0)
+    n_steps = n_samples // chunk
 
     def step(acc, i):
         off = sample_offset + i * chunk
@@ -438,6 +461,13 @@ def render_pixel_block(scene, camera, config, key, pixel_ids, sample_offset, n_s
         rad = render_pixels(scene, camera, config, key, pids, sids)
         return acc + jnp.sum(rad.reshape(chunk, p, 3), axis=0), None
 
+    if n_steps > 1:
+        # Rematerialize each chunk under autodiff: otherwise the scan saves
+        # every chunk's residuals (the fused Pallas path keeps 21 f32 tiles
+        # per ray per bounce — ~840 MB per bench-scale spp) and chunking
+        # would bound nothing.  Forward-only jit is unaffected.
+        step = jax.checkpoint(step)
+
     acc0 = _vary_like(jnp.zeros((p, 3), jnp.float32), (pixel_ids, sample_offset, key))
     acc, _ = jax.lax.scan(step, acc0, jnp.arange(n_steps))
     return unperm(acc)
@@ -445,23 +475,17 @@ def render_pixel_block(scene, camera, config, key, pixel_ids, sample_offset, n_s
 
 def render_sample_batch(scene, camera, config, key, sample_offset, n_samples):
     """Sum of radiance over ``n_samples`` consecutive sample ids for every
-    pixel. Returns [P, 3] radiance sum (not yet averaged)."""
-    if config.use_pallas:
-        pixel_ids = jnp.arange(config.num_pixels, dtype=jnp.int32)
-        return _render_block_pallas(
-            scene, camera, config, key, pixel_ids, sample_offset, n_samples
-        )
-    p = config.num_pixels
-    base_ids = jnp.arange(p, dtype=jnp.int32)
-    unperm = lambda rad: rad  # noqa: E731
-    if config.use_pallas_grad:
-        base_ids, unperm = _coherent_pixel_order(base_ids, config)
-    pixel_ids = jnp.tile(base_ids, (n_samples,))
-    sample_ids = jnp.repeat(
-        sample_offset + jnp.arange(n_samples, dtype=jnp.int32), p
+    pixel. Returns [P, 3] radiance sum (not yet averaged).
+
+    Delegates to render_pixel_block over the full pixel range, so
+    ``spp_chunk`` bounds live (and, under autodiff, rematerialized
+    residual) memory here too — pixel_loss/fit at preset spp would
+    otherwise trace one monolithic [spp * P]-ray program.
+    """
+    pixel_ids = jnp.arange(config.num_pixels, dtype=jnp.int32)
+    return render_pixel_block(
+        scene, camera, config, key, pixel_ids, sample_offset, n_samples
     )
-    rad = render_pixels(scene, camera, config, key, pixel_ids, sample_ids)
-    return unperm(jnp.sum(rad.reshape(n_samples, p, 3), axis=0))
 
 
 def init_state(config: RenderConfig, key) -> RenderState:

@@ -121,3 +121,51 @@ def test_bounce_megakernel_russian_roulette_matches_jnp():
     diff = np.abs(a - b)
     assert diff.mean() < 1e-4, diff.mean()
     assert (diff > 1e-3).mean() < 5e-3
+
+
+def test_grad_safe_config_bounds_residual_memory():
+    """Preset-scale spp must be auto-chunked under autodiff: the fused
+    backward keeps ~840 MB of residuals per bench-scale spp, so an
+    unchunked inverse.fit(PRESETS['cover'].config) (spp=100) would OOM."""
+    from simplepathtracer_tpu.render import _GRAD_RAY_BUDGET, grad_safe_config
+
+    cfg = spt.RenderConfig(
+        width=1200, height=800, spp=100, max_depth=10, spp_chunk=0,
+        use_pallas=True,
+    )
+    safe = grad_safe_config(cfg)
+    assert safe.spp_chunk > 0
+    assert safe.spp_chunk * cfg.num_pixels <= _GRAD_RAY_BUDGET
+    # Small configs stay unchunked (no needless scan in the trace).
+    small = spt.RenderConfig(width=48, height=24, spp=2)
+    assert grad_safe_config(small).spp_chunk == 0
+    # An explicit user chunk is respected.
+    explicit = grad_safe_config(cfg.replace(spp_chunk=5))
+    assert explicit.spp_chunk == 5
+
+
+def test_chunked_gradients_match_unchunked():
+    """spp-chunked (rematerialized) gradients == one-batch gradients."""
+    from simplepathtracer_tpu import inverse
+
+    scene = spt.three_sphere_scene()
+    cam = spt.make_camera(origin=(0, 0, -1), lookat=(0, 0, 1), vfov_deg=60)
+    key = jax.random.PRNGKey(5)
+    target = jnp.zeros((16, 32, 3), jnp.float32)
+    params, static_scene = inverse.split_params(scene)
+
+    def grads(chunk):
+        cfg = spt.RenderConfig(
+            width=32, height=16, spp=4, max_depth=5, spp_chunk=chunk
+        )
+        _, g = jax.value_and_grad(inverse.pixel_loss)(
+            params, static_scene, target, cam, cfg, key
+        )
+        return g
+
+    g0 = grads(0)
+    g1 = grads(1)
+    for k in g0:
+        np.testing.assert_allclose(
+            np.asarray(g1[k]), np.asarray(g0[k]), rtol=1e-5, atol=1e-7
+        )
