@@ -85,8 +85,11 @@ def pad_scene_tables(tables, multiple: int = 16):
         return tables
     out = []
     for i, t in enumerate(tables):
-        if i == 4:  # r2 slot
-            fill = jnp.full((pad,), -1.0, t.dtype)
+        if i in (3, 4):  # radius / r2 slots
+            # NaN radius: the scan recomputes r^2 = r*r in-kernel, so the
+            # padding discriminant is NaN for every ray and self-rejects
+            # (r2 = -1 kept for the slot-4 sentinel description above).
+            fill = jnp.full((pad,), jnp.nan if i == 3 else -1.0, t.dtype)
         else:
             fill = jnp.zeros((pad,), t.dtype)
         out.append(jnp.concatenate([t, fill]))
@@ -121,7 +124,13 @@ def closest_hit_scan(
 
     def one_sphere(s, c):
         (bt, bi, bcx, bcy, bcz, br, bar, bag, bab, bm, bf, bio) = c
-        scx, scy, scz, sr2 = cx_ref[s], cy_ref[s], cz_ref[s], r2_ref[s]
+        scx, scy, scz = cx_ref[s], cy_ref[s], cz_ref[s]
+        # r^2 recomputed from the radius (1 scalar mult) instead of loaded:
+        # the scan's critical path is the scalar SMEM load stream, not the
+        # VPU.  Padding slots carry radius NaN, so disc = NaN^2 - ...
+        # self-rejects exactly like the old r2 = -1 sentinel.
+        sr = rad_ref[s]
+        sr2 = sr * sr
         ocx = scx - ox
         ocy = scy - oy
         ocz = scz - oz
@@ -137,7 +146,7 @@ def closest_hit_scan(
         bcx = jnp.where(ok, scx, bcx)
         bcy = jnp.where(ok, scy, bcy)
         bcz = jnp.where(ok, scz, bcz)
-        br = jnp.where(ok, rad_ref[s], br)
+        br = jnp.where(ok, sr, br)
         bar = jnp.where(ok, ar_ref[s], bar)
         bag = jnp.where(ok, ag_ref[s], bag)
         bab = jnp.where(ok, ab_ref[s], bab)
