@@ -32,12 +32,14 @@ sys.path.insert(0, REPO)
 WIDTH, HEIGHT, DEPTH = 1200, 800, 10
 WARMUP_SPP = 4
 BENCH_SPP = 100
-# 1 spp: the fused gradient path (use_pallas_grad) saves 21 [spp*W*H]-sized
-# f32 residual tiles per bounce (~840 MB/spp at depth 10) and its per-path
-# cost is spp-flat, so 1 spp is both representative and round-over-round
-# comparable — production training steps microbatch spp with grad
-# accumulation anyway (inverse.fit).
-GRAD_SPP = 1
+# 8 spp in ONE dispatch: the fused gradient path saves 21 [spp*W*H]-sized
+# f32 residual tiles per bounce (~840 MB/spp at depth 10 — 6.5 GB at 8 spp,
+# inside the 15.75 GB v5e), and each jitted dispatch through the tunnel
+# carries a measured ~35 ms fixed cost, so batching spp amortizes it
+# (measured 7.8 -> 9.9 Mpaths/s from 1 -> 8 spp; marginal cost is flat at
+# ~88.5 ms/spp).  Higher-spp steps chunk with rematerialization instead
+# (grad_safe_config auto-picks; inverse.fit at preset spp measured 6.7M).
+GRAD_SPP = 8
 
 
 def cpu_baseline_paths_per_sec():
@@ -83,7 +85,11 @@ def _bench_grad(spt, scene, camera, config, key, spp):
     from simplepathtracer_tpu import inverse
     from simplepathtracer_tpu.render import grad_safe_config
 
-    gcfg = grad_safe_config(config).replace(spp=spp, rr_start_depth=0)
+    # spp_chunk=spp: one unchunked dispatch (auto-chunking would insert
+    # rematerialization, which benchmarks the memory-constrained variant).
+    gcfg = grad_safe_config(
+        config.replace(spp=spp, spp_chunk=spp)
+    ).replace(rr_start_depth=0)
     params, static_scene = inverse.split_params(scene)
     target = jnp.zeros((gcfg.height, gcfg.width, 3), jnp.float32)
     vg = jax.jit(jax.value_and_grad(inverse.pixel_loss), static_argnames=("config",))

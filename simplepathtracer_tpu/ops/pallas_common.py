@@ -165,6 +165,31 @@ def closest_hit_scan(
     return jax.lax.fori_loop(0, n_spheres // unroll, body, init)
 
 
+def camera_ray_tiles(cam_ref, xf, yf, jx, jy, lu, lv, *, width: int, height: int):
+    """Thin-lens camera ray on tiles from pixel coords + 4 uniforms.
+
+    ``cam_ref``: the f32[19] SMEM block from pallas_persistent.camera_constants
+    (origin 0:3, lower_left 3:6, horizontal 6:9, vertical 9:12, u 12:15,
+    v 15:18, lens_radius 18).  Same math as camera.generate_rays — the
+    single in-kernel source shared by the persistent and raygen kernels.
+    Returns (ox, oy, oz, dx, dy, dz) with unit directions.
+    """
+    s01 = (xf + jx) * np.float32(1.0 / width)
+    t01 = 1.0 - (yf + jy) * np.float32(1.0 / height)
+    lr = jnp.sqrt(lu) * cam_ref[18]
+    th = np.float32(2.0 * np.pi) * lv
+    ou = lr * jnp.cos(th)
+    ov = lr * jnp.sin(th)
+    ox = cam_ref[0] + ou * cam_ref[12] + ov * cam_ref[15]
+    oy = cam_ref[1] + ou * cam_ref[13] + ov * cam_ref[16]
+    oz = cam_ref[2] + ou * cam_ref[14] + ov * cam_ref[17]
+    dx = cam_ref[3] + s01 * cam_ref[6] + t01 * cam_ref[9] - ox
+    dy = cam_ref[4] + s01 * cam_ref[7] + t01 * cam_ref[10] - oy
+    dz = cam_ref[5] + s01 * cam_ref[8] + t01 * cam_ref[11] - oz
+    ninv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz + 1e-20)
+    return ox, oy, oz, dx * ninv, dy * ninv, dz * ninv
+
+
 def hit_point_normal(ox, oy, oz, dx, dy, dz, t, cx, cy, cz, r):
     """Hit point + outward unit normal; the sign of r flips the normal for
     Shirley's hollow glass (negative radii)."""

@@ -54,6 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_common import (
     LANE as _LANE,
     SUB as _SUB,
+    camera_ray_tiles,
     closest_hit_scan,
     pad_scene_tables,
     scatter_tiles,
@@ -349,6 +350,27 @@ def _pack_cols(a, n, pad_value=0.0):
     return a.reshape(n_pad // _LANE, _LANE)
 
 
+def _fused_radiance_tiles(ox, oy, oz, dx, dy, dz, alive0, pix, samp,
+                          k0, k1, scene, config, n):
+    """Shared tail: run the fused custom-vjp trace on packed tiles."""
+    tables = (
+        scene.centers[:, 0], scene.centers[:, 1], scene.centers[:, 2],
+        scene.radii, jax.lax.stop_gradient(scene.radii * scene.radii),
+        scene.albedo[:, 0], scene.albedo[:, 1], scene.albedo[:, 2],
+        scene.material.astype(jnp.int32), scene.fuzz, scene.ior,
+    )
+    sky6 = jnp.concatenate([scene.sky_lo, scene.sky_hi]).astype(jnp.float32)
+
+    rad3 = _fused_trace(
+        ox, oy, oz, dx, dy, dz, alive0, pix, samp, k0, k1, tables, sky6,
+        depth=int(config.max_depth), t_min=float(config.t_min),
+        t_max=float(config.t_max),
+        rr_start_depth=int(config.rr_start_depth),
+        interpret=bool(config.pallas_interpret),
+    )
+    return jnp.stack([r.reshape(-1)[:n] for r in rad3], axis=-1)
+
+
 def trace_rays_fused(origins, dirs, keys, scene, config):
     """Differentiable whole-trace radiance via the fused Pallas fwd/bwd.
 
@@ -359,8 +381,6 @@ def trace_rays_fused(origins, dirs, keys, scene, config):
     faster fwd+bwd on a v5e chip.
     """
     n = origins.shape[0]
-    interpret = bool(config.pallas_interpret)
-
     ox = _pack_cols(origins[:, 0], n)
     oy = _pack_cols(origins[:, 1], n)
     oz = _pack_cols(origins[:, 2], n)
@@ -372,23 +392,85 @@ def trace_rays_fused(origins, dirs, keys, scene, config):
     alive0 = _pack_cols(jnp.ones((n,), jnp.float32), n)
     pix = _pack_cols(keys.pixel, n)
     samp = _pack_cols(keys.sample, n)
-
-    tables = (
-        scene.centers[:, 0], scene.centers[:, 1], scene.centers[:, 2],
-        scene.radii, jax.lax.stop_gradient(scene.radii * scene.radii),
-        scene.albedo[:, 0], scene.albedo[:, 1], scene.albedo[:, 2],
-        scene.material.astype(jnp.int32), scene.fuzz, scene.ior,
-    )
-    sky6 = jnp.concatenate([scene.sky_lo, scene.sky_hi]).astype(jnp.float32)
-
-    rad3 = _fused_trace(
+    return _fused_radiance_tiles(
         ox, oy, oz, dx, dy, dz, alive0, pix, samp,
-        keys.k0, keys.k1, tables, sky6,
-        depth=int(config.max_depth), t_min=float(config.t_min),
-        t_max=float(config.t_max),
-        rr_start_depth=int(config.rr_start_depth), interpret=interpret,
+        keys.k0, keys.k1, scene, config, n,
     )
-    return jnp.stack([r.reshape(-1)[:n] for r in rad3], axis=-1)
+
+
+def _raygen_kernel(
+    cam_ref, meta_ref, pix_ref, samp_ref, xf_ref, yf_ref,
+    o_ox, o_oy, o_oz, o_dx, o_dy, o_dz,
+    *, width: int, height: int,
+):
+    """Camera rays on tiles: threefry jitter/lens draws (slots 124/125 of
+    the shared slot map) + thin-lens math — matching ops/sampling
+    .camera_jitter + camera.generate_rays like the persistent kernel."""
+    k0, k1 = meta_ref[0], meta_ref[1]
+    pix = pix_ref[:]
+    c1b = samp_ref[:] << jnp.uint32(8)
+    w0, w1 = threefry2x32(k0, k1, pix, c1b | jnp.uint32(124))
+    jx, jy = to_unit_float(w0), to_unit_float(w1)
+    w0, w1 = threefry2x32(k0, k1, pix, c1b | jnp.uint32(125))
+    lu, lv = to_unit_float(w0), to_unit_float(w1)
+    (o_ox[:], o_oy[:], o_oz[:], o_dx[:], o_dy[:], o_dz[:]) = camera_ray_tiles(
+        cam_ref, xf_ref[:], yf_ref[:], jx, jy, lu, lv,
+        width=width, height=height,
+    )
+
+
+def trace_pixels_fused(camera, keys, scene, config):
+    """Fused trace with IN-KERNEL camera ray generation.
+
+    The XLA-side ray setup (threefry jitter draws + camera math + packing
+    transposes) measured ~35 ms fixed cost per 960k-ray dispatch — 40% of
+    the fused forward.  This entry generates the rays with a raygen Pallas
+    kernel instead (same slot map / camera constants as the persistent
+    kernel, so values match generate_rays to fp tolerance) and feeds tiles
+    straight into the fused trace.  Camera parameters are not
+    differentiated on this path (the DIFF_LEAVES set does not include the
+    camera; render.render_pixels falls back to trace_rays_fused when a
+    differentiable camera or silhouette blend is requested).
+    """
+    n = keys.pixel.shape[0]
+    pix = _pack_cols(keys.pixel, n)
+    samp = _pack_cols(keys.sample, n)
+    w = jnp.uint32(config.width)
+    xf = _pack_cols((keys.pixel % w).astype(jnp.float32), n)
+    yf = _pack_cols((keys.pixel // w).astype(jnp.float32), n)
+    alive0 = _pack_cols(jnp.ones((n,), jnp.float32), n)
+
+    from .pallas_persistent import camera_constants
+
+    cam19 = jax.lax.stop_gradient(
+        camera_constants(camera, config.width, config.height)
+    )
+    meta2 = jnp.stack([keys.k0, keys.k1]).astype(jnp.uint32)
+    rows = pix.shape[0]
+    blk = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vma = _vma_union(pix, samp, keys.k0, keys.k1, cam19)
+    f32out = jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma)
+    rays = pl.pallas_call(
+        functools.partial(
+            _raygen_kernel, width=int(config.width), height=int(config.height)
+        ),
+        grid=(rows // _SUB,),
+        in_specs=[smem, smem] + [blk] * 4,
+        out_specs=tuple([blk] * 6),
+        out_shape=(f32out,) * 6,
+        cost_estimate=pl.CostEstimate(
+            flops=300 * rows * _LANE,
+            bytes_accessed=10 * 4 * rows * _LANE,
+            transcendentals=4 * rows * _LANE,
+        ),
+        interpret=bool(config.pallas_interpret),
+    )(cam19, meta2, pix.astype(jnp.uint32), samp.astype(jnp.uint32), xf, yf)
+    ox, oy, oz, dx, dy, dz = (jax.lax.stop_gradient(r) for r in rays)
+    return _fused_radiance_tiles(
+        ox, oy, oz, dx, dy, dz, alive0, pix, samp,
+        keys.k0, keys.k1, scene, config, n,
+    )
 
 
 @functools.partial(

@@ -48,6 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_common import (
     LANE as _LANE,
     SUB as _SUB,
+    camera_ray_tiles,
     closest_hit_scan,
     hit_point_normal,
     pad_scene_tables,
@@ -145,25 +146,15 @@ def _persistent_kernel(
         lu, lv = uniforms(c1b | jnp.uint32(125))
         # Camera ray built from the bank-selected coordinates: it is only
         # consumed under the regen mask, so no xf/yf carry is needed.
-        s01 = (nxf + jx) * np.float32(1.0 / width)
-        t01 = 1.0 - (nyf + jy) * np.float32(1.0 / height)
-        lr = jnp.sqrt(lu) * cam_ref[18]
-        th = np.float32(2.0 * np.pi) * lv
-        ou = lr * jnp.cos(th)
-        ov = lr * jnp.sin(th)
-        nox = cam_ref[0] + ou * cam_ref[12] + ov * cam_ref[15]
-        noy = cam_ref[1] + ou * cam_ref[13] + ov * cam_ref[16]
-        noz = cam_ref[2] + ou * cam_ref[14] + ov * cam_ref[17]
-        ndx = cam_ref[3] + s01 * cam_ref[6] + t01 * cam_ref[9] - nox
-        ndy = cam_ref[4] + s01 * cam_ref[7] + t01 * cam_ref[10] - noy
-        ndz = cam_ref[5] + s01 * cam_ref[8] + t01 * cam_ref[11] - noz
-        ninv = jax.lax.rsqrt(ndx * ndx + ndy * ndy + ndz * ndz + 1e-20)
+        nox, noy, noz, ndx, ndy, ndz = camera_ray_tiles(
+            cam_ref, nxf, nyf, jx, jy, lu, lv, width=width, height=height
+        )
         ox = jnp.where(regen, nox, ox)
         oy = jnp.where(regen, noy, oy)
         oz = jnp.where(regen, noz, oz)
-        dx = jnp.where(regen, ndx * ninv, dx)
-        dy = jnp.where(regen, ndy * ninv, dy)
-        dz = jnp.where(regen, ndz * ninv, dz)
+        dx = jnp.where(regen, ndx, dx)
+        dy = jnp.where(regen, ndy, dy)
+        dz = jnp.where(regen, ndz, dz)
         tr = jnp.where(regen, 1.0, tr)
         tg = jnp.where(regen, 1.0, tg)
         tb = jnp.where(regen, 1.0, tb)

@@ -299,6 +299,18 @@ def render_pixels(
     core unit: any slice of the global (pixel, sample) grid renders
     identically regardless of which device computes it."""
     keys = ray_keys(key, pixel_ids, sample_ids)
+    if (
+        config.use_pallas_grad
+        and not config.use_pallas
+        and config.silhouette_softness == 0.0
+    ):
+        # Fully-fused fast path incl. in-kernel camera ray generation — the
+        # XLA-side threefry + ray math + packing was a measured ~35 ms
+        # fixed cost per bench-scale dispatch.  The silhouette blend needs
+        # explicit rays, so soft-edge configs use the general path below.
+        from .ops.pallas_grad import trace_pixels_fused
+
+        return trace_pixels_fused(camera, keys, scene, config)
     jit4 = camera_jitter(keys)
     origins, dirs = generate_rays(camera, config.width, config.height, pixel_ids, jit4)
     return trace_rays(origins, dirs, keys, scene, config)
