@@ -68,6 +68,11 @@ def cmd_render(args) -> int:
 
     total = config.spp
     chunk = args.snapshot_every or (total - done)
+    if server is not None and not args.snapshot_every:
+        # A live preview needs intermediate frames: without --snapshot-every
+        # the render would run as one chunk and the first (and only) frame
+        # would be pushed after it finished.  ~20 progressive updates.
+        chunk = max(1, total // 20)
     with metrics.profiler_trace(args.trace):
         while done < total:
             n = min(chunk, total - done)

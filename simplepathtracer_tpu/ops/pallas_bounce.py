@@ -40,6 +40,7 @@ from .pallas_common import (
     sky_components,
     threefry2x32,
     to_unit_float,
+    vma_union,
 )
 
 # Back-compat aliases (pallas_persistent historically imported these here).
@@ -192,9 +193,7 @@ def bounce_step_pallas(
         _bounce_kernel, n_spheres=s, t_min=float(t_min), t_max=float(t_max),
         rr_start_depth=int(rr_start_depth),
     )
-    vma = frozenset()
-    for a in (*state, meta3, *scene_tables):
-        vma |= getattr(jax.typeof(a), "vma", frozenset())
+    vma = vma_union(*state, meta3, *scene_tables)
     out_sds = [jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma)] * 13
     return pl.pallas_call(
         kernel,

@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_common import vma_union
+
 _RAYS = 512     # rays per grid step (contraction depth per dot)
 _SCH = 128      # sphere chunk (one-hot lane width)
 
@@ -113,9 +115,7 @@ def bucket_rows_pallas(ct, idx, n_buckets: int, interpret: bool = False):
         idx = jnp.concatenate([idx, jnp.zeros((n_pad - n,), idx.dtype)])
     idx_col = idx.reshape(n_pad, 1).astype(jnp.int32)
 
-    vma = frozenset()
-    for a in (ct, idx):
-        vma |= getattr(jax.typeof(a), "vma", frozenset())
+    vma = vma_union(ct, idx)
 
     rays = _rays_per_step(n_pad)
     out = pl.pallas_call(
@@ -167,9 +167,7 @@ def bucket_cols_pallas(cols, idx_tiles, n_buckets: int, interpret: bool = False)
     )
     idx_col = idx_tiles.reshape(n, 1).astype(jnp.int32)
 
-    vma = frozenset()
-    for a in (*cols, idx_tiles):
-        vma |= getattr(jax.typeof(a), "vma", frozenset())
+    vma = vma_union(*cols, idx_tiles)
 
     rays = _rays_per_step(n)
     out = pl.pallas_call(

@@ -68,13 +68,26 @@ def to_unit_float(bits):
     return i.astype(jnp.float32) * np.float32(2.0**-24)
 
 
+def vma_union(*arrays):
+    """Union of the varying-mesh-axes sets of all arguments.
+
+    Under shard_map, pallas_call outputs must declare their vma; every
+    kernel wrapper takes the union of its inputs'.  The getattr hedge
+    covers jax versions where jax.typeof has no vma field.
+    """
+    vma = frozenset()
+    for a in arrays:
+        vma |= getattr(jax.typeof(a), "vma", frozenset())
+    return vma
+
+
 def pad_scene_tables(tables, multiple: int = 16):
     """Pad the 11 SMEM sphere tables to a multiple of ``multiple`` slots.
 
     The sphere scan's manual unroll needs n_spheres % unroll == 0; on v5e
     the measured ladder is 4x -> 8x (+7.5%) -> 16x (+6%) -> 32x (slight
-    regression), so 16 is the default (scalar SMEM loads are the scan's
-    critical path; deeper unroll hides them better).  Padding slots
+    regression), so 16 is the default (deeper unroll overlaps scalar SMEM
+    loads with VPU work and lengthens independent chains).  Padding slots
     use r^2 = -1: disc = r2 - |oc_perp|^2 <= -1 for EVERY ray, so sqrt
     yields NaN and the candidate self-rejects — no cancellation edge case
     (padding with huge centers risks disc ~ 0 through inf-inf).
@@ -125,10 +138,11 @@ def closest_hit_scan(
     def one_sphere(s, c):
         (bt, bi, bcx, bcy, bcz, br, bar, bag, bab, bm, bf, bio) = c
         scx, scy, scz = cx_ref[s], cy_ref[s], cz_ref[s]
-        # r^2 recomputed from the radius (1 scalar mult) instead of loaded:
-        # the scan's critical path is the scalar SMEM load stream, not the
-        # VPU.  Padding slots carry radius NaN, so disc = NaN^2 - ...
-        # self-rejects exactly like the old r2 = -1 sentinel.
+        # r^2 recomputed from the radius (1 scalar mult) instead of loaded
+        # (measured perf-neutral — the scan is VPU-issue-bound, not
+        # load-bound — but it drops one SMEM table dependency).  Padding
+        # slots carry radius NaN, so disc = NaN^2 - ... self-rejects
+        # exactly like the old r2 = -1 sentinel.
         sr = rad_ref[s]
         sr2 = sr * sr
         ocx = scx - ox

@@ -60,6 +60,7 @@ from .pallas_common import (
     scatter_tiles,
     threefry2x32,
     to_unit_float,
+    vma_union,
 )
 
 _BLOCK = _SUB * _LANE
@@ -328,13 +329,6 @@ def _grad_bwd_kernel(
     jax.lax.cond(jnp.any(alive), do_bwd, skip)
 
 
-def _vma_union(*arrays):
-    vma = frozenset()
-    for a in arrays:
-        vma |= getattr(jax.typeof(a), "vma", frozenset())
-    return vma
-
-
 def _cast_vma(x, vma):
     """Promote a fresh constant to the given varying-mesh-axes set (identity
     outside shard_map) — scan carries must match their body outputs' vma."""
@@ -449,7 +443,7 @@ def trace_pixels_fused(camera, keys, scene, config):
     rows = pix.shape[0]
     blk = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    vma = _vma_union(pix, samp, keys.k0, keys.k1, cam19)
+    vma = vma_union(pix, samp, keys.k0, keys.k1, cam19)
     f32out = jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma)
     rays = pl.pallas_call(
         functools.partial(
@@ -505,7 +499,7 @@ def _fused_fwd_impl(
     )
     blk = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    vma = _vma_union(ox, dy, alive0, pix, samp, k0, k1, *tables, sky6)
+    vma = vma_union(ox, dy, alive0, pix, samp, k0, k1, *tables, sky6)
     f32out = jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma)
     i32out = jax.ShapeDtypeStruct((rows, _LANE), jnp.int32, vma=vma)
 
@@ -572,7 +566,7 @@ def _fused_bwd_rule(depth, t_min, t_max, rr_start_depth, interpret, resaux, ct):
     blk = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
     pinned = pl.BlockSpec((_SUB, _LANE), lambda i: (0, 0), memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    vma = _vma_union(ctr, pix_u, samp_u, k0u, k1u, sky6, *jax.tree.leaves(resids))
+    vma = vma_union(ctr, pix_u, samp_u, k0u, k1u, sky6, *jax.tree.leaves(resids))
     f32out = jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma)
     sky_out = jax.ShapeDtypeStruct((_SUB, _LANE), jnp.float32, vma=vma)
 

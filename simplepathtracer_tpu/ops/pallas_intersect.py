@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_common import closest_hit_scan, pad_scene_tables
+from .pallas_common import closest_hit_scan, pad_scene_tables, vma_union
 
 # Block geometry: 8 sublanes x 128 lanes = 1024 rays per grid step (f32 tile).
 _SUB = 8
@@ -132,9 +132,7 @@ def closest_hit_pallas(
     # Under shard_map with check_vma the outputs must declare their varying
     # mesh axes: inherit the union from the inputs (same pattern as the
     # bounce/persistent kernels).
-    vma = frozenset()
-    for a in (origins, dirs, alive, centers, radii):
-        vma |= getattr(jax.typeof(a), "vma", frozenset())
+    vma = vma_union(origins, dirs, alive, centers, radii)
 
     idx2d, t2d = pl.pallas_call(
         kernel,
@@ -258,9 +256,7 @@ def closest_hit_attrs_pallas(
     )
     blk = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    vma = frozenset()
-    for a in (origins, dirs, alive, *scene_tables):
-        vma |= getattr(jax.typeof(a), "vma", frozenset())
+    vma = vma_union(origins, dirs, alive, *scene_tables)
     f32out = jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma)
     i32out = jax.ShapeDtypeStruct((rows, _LANE), jnp.int32, vma=vma)
     outs = pl.pallas_call(

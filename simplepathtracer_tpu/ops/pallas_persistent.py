@@ -56,6 +56,7 @@ from .pallas_common import (
     sky_components,
     threefry2x32,
     to_unit_float,
+    vma_union,
 )
 
 _BLOCK = _SUB * _LANE
@@ -323,9 +324,7 @@ def render_block_persistent(
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     # Under shard_map outputs must declare their varying mesh axes (vma):
     # inherit the union from the inputs.
-    vma = frozenset()
-    for a in (pixel_ids, key2, sample_offset, *scene_tables):
-        vma |= getattr(jax.typeof(a), "vma", frozenset())
+    vma = vma_union(pixel_ids, key2, sample_offset, *scene_tables)
 
     def to_vma(x):
         missing = vma - getattr(jax.typeof(x), "vma", frozenset())

@@ -61,6 +61,12 @@ def initialize_cluster(
 
     env_configured = (
         coordinator_address is not None
+        # Explicit caller arguments are an opt-in even without an address:
+        # jax.distributed auto-detects the coordinator from TPU pod
+        # metadata, so initialize(num_processes=N, process_id=i) is a valid
+        # launcher pattern that must not silently no-op.
+        or num_processes is not None
+        or process_id is not None
         or "JAX_COORDINATOR_ADDRESS" in os.environ
         or "JAX_NUM_PROCESSES" in os.environ
         or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")

@@ -28,13 +28,21 @@ p{color:#888;font:12px monospace}</style></head>
 <body><div><img id=i src="/frame.png">
 <p id=s>waiting for first frame...</p></div>
 <script>
+let prev = null;
 async function tick(){
-  const r = await fetch('/frame.png?' + Date.now());
-  if (r.ok) {
-    const b = await r.blob();
-    document.getElementById('i').src = URL.createObjectURL(b);
-    const st = await (await fetch('/status')).text();
-    document.getElementById('s').textContent = st;
+  try {
+    const r = await fetch('/frame.png?' + Date.now());
+    if (r.ok) {
+      const b = await r.blob();
+      const url = URL.createObjectURL(b);
+      document.getElementById('i').src = url;
+      if (prev) URL.revokeObjectURL(prev);  // one blob live at a time
+      prev = url;
+      const st = await (await fetch('/status')).text();
+      document.getElementById('s').textContent = st;
+    }
+  } catch (e) {
+    // transient fetch failure (server restart, network blip): keep polling
   }
   setTimeout(tick, 2000);
 }

@@ -26,7 +26,7 @@ from .camera import generate_rays
 from .ops.intersect import intersect_scene
 from .ops.materials import scatter, sky_color
 from .ops.sampling import bounce_noise, camera_jitter, ray_keys
-from .ops.table_gather import gather_rows, pack_tables
+from .ops.table_gather import pack_tables
 from .types import Camera, RenderConfig, RenderState, Scene
 
 
