@@ -429,10 +429,27 @@ def trace_pixels_fused(camera, keys, scene, config):
     n = keys.pixel.shape[0]
     pix = _pack_cols(keys.pixel, n)
     samp = _pack_cols(keys.sample, n)
+    alive0 = _pack_cols(jnp.ones((n,), jnp.float32), n)
+    ox, oy, oz, dx, dy, dz = raygen_tiles(camera, keys, config)
+    return _fused_radiance_tiles(
+        ox, oy, oz, dx, dy, dz, alive0, pix, samp,
+        keys.k0, keys.k1, scene, config, n,
+    )
+
+
+def raygen_tiles(camera, keys, config):
+    """Camera rays as six (rows, 128) tiles via the raygen kernel.
+
+    Equivalence-tested against camera_jitter + generate_rays
+    (tests/test_pallas_grad.py).  Outputs are stop_gradient'ed: the
+    pallas_call has no VJP, and the camera is not a differentiable leaf.
+    """
+    n = keys.pixel.shape[0]
+    pix = _pack_cols(keys.pixel, n)
+    samp = _pack_cols(keys.sample, n)
     w = jnp.uint32(config.width)
     xf = _pack_cols((keys.pixel % w).astype(jnp.float32), n)
     yf = _pack_cols((keys.pixel // w).astype(jnp.float32), n)
-    alive0 = _pack_cols(jnp.ones((n,), jnp.float32), n)
 
     from .pallas_persistent import camera_constants
 
@@ -460,11 +477,7 @@ def trace_pixels_fused(camera, keys, scene, config):
         ),
         interpret=bool(config.pallas_interpret),
     )(cam19, meta2, pix.astype(jnp.uint32), samp.astype(jnp.uint32), xf, yf)
-    ox, oy, oz, dx, dy, dz = (jax.lax.stop_gradient(r) for r in rays)
-    return _fused_radiance_tiles(
-        ox, oy, oz, dx, dy, dz, alive0, pix, samp,
-        keys.k0, keys.k1, scene, config, n,
-    )
+    return tuple(jax.lax.stop_gradient(r) for r in rays)
 
 
 @functools.partial(

@@ -141,3 +141,30 @@ def test_coherent_pixel_order_roundtrip():
     odd = jnp.arange(100, dtype=jnp.int32)
     pids2, unperm2 = _coherent_pixel_order(odd, cfg)
     np.testing.assert_array_equal(np.asarray(pids2), np.asarray(odd))
+
+
+def test_raygen_kernel_matches_generate_rays():
+    """The raygen kernel == camera_jitter + generate_rays, ray by ray."""
+    from simplepathtracer_tpu.ops.pallas_grad import raygen_tiles
+    from simplepathtracer_tpu.ops.sampling import camera_jitter, ray_keys
+    from simplepathtracer_tpu.camera import generate_rays
+
+    cam = spt.make_camera(
+        origin=(13, 2, 3), lookat=(0, 0, 0), vfov_deg=20,
+        aperture=0.1, focus_dist=10.0,
+    )
+    cfg = spt.RenderConfig(width=40, height=30, spp=2, pallas_interpret=True)
+    n = cfg.num_pixels * 2
+    pids = jnp.tile(jnp.arange(cfg.num_pixels, dtype=jnp.int32), (2,))
+    sids = jnp.repeat(jnp.arange(2, dtype=jnp.int32), cfg.num_pixels)
+    keys = ray_keys(jax.random.PRNGKey(9), pids, sids)
+
+    jit4 = camera_jitter(keys)
+    origins, dirs = generate_rays(cam, cfg.width, cfg.height, pids, jit4)
+
+    tiles = [np.asarray(t).reshape(-1)[:n] for t in raygen_tiles(cam, keys, cfg)]
+    ref = [np.asarray(origins[:, i]) for i in range(3)] + [
+        np.asarray(dirs[:, i]) for i in range(3)
+    ]
+    for got, want in zip(tiles, ref):
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
