@@ -71,7 +71,25 @@ def main():
     assert seen.all(), "local tile slice does not cover all addressable shards"
     np.save(os.path.join(outdir, f"part{proc_id}.npy"), local)
     np.save(os.path.join(outdir, f"range{proc_id}.npy"), np.array([start, size]))
-    print(f"proc {proc_id}: rows [{start}, {start+size}) ok", flush=True)
+
+    # One sharded gradient step across both processes: loss and grads are
+    # replicated outputs (psum over both mesh axes), so every process holds
+    # the full values — the parent compares them against a single-process
+    # run.  This is the distributed form of the fwd+bwd north-star metric.
+    import jax.numpy as jnp
+
+    from simplepathtracer_tpu.parallel.sharding import loss_and_grad_sharded
+
+    target = jnp.full((cfg.height, cfg.width, 3), 0.25, jnp.float32)
+    loss, grads = jax.jit(
+        lambda s, t, c, k: loss_and_grad_sharded(s, t, c, cfg, k, mesh)
+    )(scene, target, cam, key)
+    np.savez(
+        os.path.join(outdir, f"grads{proc_id}.npz"),
+        loss=np.asarray(loss),
+        **{k: np.asarray(v) for k, v in grads.items()},
+    )
+    print(f"proc {proc_id}: rows [{start}, {start+size}) + grad step ok", flush=True)
 
 
 if __name__ == "__main__":

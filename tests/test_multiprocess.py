@@ -81,3 +81,21 @@ def test_two_process_distributed_render(tmp_path):
         )
     )
     np.testing.assert_allclose(stitched, expected, rtol=1e-6, atol=1e-6)
+
+    # Gradient step: both processes must hold the SAME replicated
+    # (loss, grads), equal to the single-process sharded run.
+    import jax.numpy as jnp
+
+    from simplepathtracer_tpu.parallel.sharding import loss_and_grad_sharded
+
+    target = jnp.full((cfg.height, cfg.width, 3), 0.25, jnp.float32)
+    loss_ref, grads_ref = jax.jit(
+        lambda s, t, c, k: loss_and_grad_sharded(s, t, c, cfg, k, mesh)
+    )(scene, target, cam, key)
+    g0 = np.load(tmp_path / "grads0.npz")
+    g1 = np.load(tmp_path / "grads1.npz")
+    np.testing.assert_allclose(g0["loss"], g1["loss"], rtol=0, atol=0)
+    np.testing.assert_allclose(g0["loss"], np.asarray(loss_ref), rtol=1e-6)
+    for k, v in grads_ref.items():
+        np.testing.assert_allclose(g0[k], g1[k], rtol=0, atol=0)
+        np.testing.assert_allclose(g0[k], np.asarray(v), rtol=1e-5, atol=1e-7)
