@@ -73,6 +73,45 @@ def init(scene: Scene, lr: float = 1e-2, leaves=DIFF_LEAVES) -> InverseState:
     return InverseState(params=params, opt_state=opt.init(params), step=jnp.zeros((), jnp.int32))
 
 
+def _save_fit_state(path, params, opt_state, step, losses):
+    """Atomic snapshot of an in-progress fit (np.savez + rename)."""
+    import os
+
+    import numpy as np
+
+    leaves_flat, _ = jax.tree.flatten((params, opt_state))
+    tmp = f"{path}.tmp-{os.getpid()}"  # np.savez appends .npz
+    np.savez(
+        tmp,
+        version=np.int64(1),
+        step=np.int64(step),
+        losses=np.asarray(losses, np.float64),
+        n_leaves=np.int64(len(leaves_flat)),
+        **{f"leaf{i}": np.asarray(x) for i, x in enumerate(leaves_flat)},
+    )
+    os.replace(tmp + ".npz", path)
+
+
+def _load_fit_state(path, params_template, opt_state_template):
+    """Restore (params, opt_state, step, losses) from a fit snapshot.
+
+    The pytree structure is rebuilt from templates (a fresh split_params +
+    opt.init), so only array leaves live in the file — same recipe as
+    checkpoint.py's full-config serialization.
+    """
+    import numpy as np
+
+    with np.load(path) as z:
+        assert int(z["version"]) == 1, f"unknown fit snapshot version"
+        n = int(z["n_leaves"])
+        flat = [jnp.asarray(z[f"leaf{i}"]) for i in range(n)]
+        step = int(z["step"])
+        losses = [float(x) for x in z["losses"]]
+    treedef = jax.tree.structure((params_template, opt_state_template))
+    params, opt_state = jax.tree.unflatten(treedef, flat)
+    return params, opt_state, step, losses
+
+
 def fit(
     scene_init: Scene,
     target,
@@ -85,6 +124,8 @@ def fit(
     callback=None,
     softness: float = 0.02,
     param_mask=None,
+    snapshot_path=None,
+    snapshot_every: int = 0,
 ):
     """Adam-optimize the scene's differentiable leaves against a target.
 
@@ -100,7 +141,16 @@ def fit(
     entries matter because Adam's RMS normalization turns Monte-Carlo
     gradient noise on otherwise-converged parameters into O(lr) random
     walks.  Returns (scene, losses list).
+
+    ``snapshot_path`` + ``snapshot_every``: checkpoint/resume for the
+    optimization loop — the training-step analog of checkpoint.py's render
+    snapshots.  Every N steps the (params, Adam state, step, losses) are
+    written atomically; if the file already exists when fit() starts, the
+    run resumes from it.  Resume is BIT-IDENTICAL to an uninterrupted run:
+    step keys are fold_in(key, i), independent of history (tested in
+    tests/test_inverse.py).
     """
+    import os
     opt = make_optimizer(lr)
     params, static_scene = split_params(scene_init, leaves)
     opt_state = opt.init(params)
@@ -140,9 +190,16 @@ def fit(
         return params, opt_state, loss
 
     losses = []
-    for i in range(steps):
+    start = 0
+    if snapshot_path and os.path.exists(snapshot_path):
+        params, opt_state, start, losses = _load_fit_state(
+            snapshot_path, params, opt_state
+        )
+    for i in range(start, steps):
         params, opt_state, loss = step_fn(params, opt_state, jax.random.fold_in(key, i))
         losses.append(float(loss))
         if callback is not None:
             callback(i, losses[-1], params)
+        if snapshot_path and snapshot_every and (i + 1) % snapshot_every == 0:
+            _save_fit_state(snapshot_path, params, opt_state, i + 1, losses)
     return merge_params(params, static_scene), losses

@@ -133,3 +133,36 @@ def test_fit_recovers_center_offset():
     np.testing.assert_array_equal(
         np.asarray(recovered.centers[0]), np.asarray(truth.centers[0])
     )
+
+
+def test_fit_snapshot_resume_bit_identical(tmp_path):
+    """Interrupt/resume of a fit == the uninterrupted run, bit for bit.
+
+    The training-loop analog of checkpoint.py's render resume guarantee:
+    step keys are fold_in(key, i) (history-independent), and the snapshot
+    carries the full (params, Adam state, step) so continuation is exact.
+    """
+    truth, target, cam, cfg, key = _setup()
+    perturbed = truth.replace(albedo=jnp.clip(truth.albedo + 0.2, 0.0, 1.0))
+    fit_key = jax.random.PRNGKey(21)
+
+    ref_scene, ref_losses = inverse.fit(
+        perturbed, target, cam, cfg, fit_key, steps=6, lr=5e-2,
+        leaves=("albedo",),
+    )
+
+    snap = str(tmp_path / "fit.npz")
+    # "Crash" after 3 steps: run with a snapshot, then resume to 6.
+    inverse.fit(
+        perturbed, target, cam, cfg, fit_key, steps=3, lr=5e-2,
+        leaves=("albedo",), snapshot_path=snap, snapshot_every=3,
+    )
+    resumed_scene, resumed_losses = inverse.fit(
+        perturbed, target, cam, cfg, fit_key, steps=6, lr=5e-2,
+        leaves=("albedo",), snapshot_path=snap, snapshot_every=3,
+    )
+    assert resumed_losses[:3] == ref_losses[:3]
+    assert resumed_losses[3:] == ref_losses[3:]
+    np.testing.assert_array_equal(
+        np.asarray(resumed_scene.albedo), np.asarray(ref_scene.albedo)
+    )
