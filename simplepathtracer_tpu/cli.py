@@ -143,16 +143,21 @@ def cmd_invert(args) -> int:
     # Two-phase coordinate descent: materials first, then geometry with
     # soft silhouettes — jointly fitting both lets Monte-Carlo gradient
     # noise walk the geometry while the albedo error dominates the loss.
+    snap = getattr(args, "snapshot", None)
+    snap_kw = lambda phase: (  # noqa: E731
+        dict(snapshot_path=f"{snap}.{phase}.npz",
+             snapshot_every=args.snapshot_every) if snap else {}
+    )
     s1 = max(args.steps // 2, 1)
     stage1, losses1 = inverse.fit(
         perturbed, target_hard, camera, config, key, steps=s1, lr=args.lr,
-        leaves=("albedo",), callback=cb("invert_albedo"),
+        leaves=("albedo",), callback=cb("invert_albedo"), **snap_kw("albedo"),
     )
     recovered, losses2 = inverse.fit(
         stage1, target_soft, camera, config, jax.random.fold_in(key, 1),
         steps=args.steps - s1, lr=min(args.lr, 1e-2),
         leaves=("centers",), softness=softness, param_mask=mask,
-        callback=cb("invert_centers"),
+        callback=cb("invert_centers"), **snap_kw("centers"),
     )
     losses = losses1 + losses2
     meter.emit({
@@ -215,6 +220,12 @@ def main(argv=None) -> int:
     i.add_argument("--height", type=int)
     i.add_argument("--spp", type=int)
     i.add_argument("--seed", type=int, default=0)
+    i.add_argument(
+        "--snapshot", default=None, metavar="PATH",
+        help="fit-state snapshot prefix (writes PATH.albedo.npz / "
+             "PATH.centers.npz; resumes from them if present)",
+    )
+    i.add_argument("--snapshot-every", dest="snapshot_every", type=int, default=10)
     i.add_argument("-o", "--output", default=None)
     i.add_argument("-q", "--quiet", action="store_true")
     i.set_defaults(fn=cmd_invert)
