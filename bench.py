@@ -1,21 +1,37 @@
-"""Benchmark harness: one JSON line for the driver.
+"""Benchmark harness: one JSON line for the driver — wedge-proof.
 
-Emits the three north-star numbers (BASELINE.json):
-  * fwd       — forward path throughput, cover scene, no Russian roulette
-  * fwd_rr    — forward with rr_start_depth=2 (unbiased early termination)
-  * fwd_bwd   — value_and_grad of the pixel MSE (the "training step" rate)
+Emits the north-star numbers (BASELINE.json):
+  * fwd                — forward throughput, cover scene, no Russian roulette
+  * fwd_rr             — forward with rr_start_depth=2 (unbiased early term)
+  * fwd_bwd            — value_and_grad of pixel MSE, 8 spp in one dispatch
+  * fwd_bwd_sustained  — same at the full 100-spp preset (spp-chunked remat:
+                         what `spt-render --invert` actually sustains)
+  * vpu_utilization    — achieved sphere-scan VPU tile-ops/cycle vs the
+                         measured ~2.3 issue ceiling (the roofline check on
+                         the "algorithm ceiling" claim, SURVEY.md S6)
 
 Headline metric/value stays the no-RR forward for round-over-round
-comparability; the other two ride in detail.metrics with their own
-vs_baseline.  ``vs_baseline`` compares against the reference-semantics C++
-CPU tracer (native/cpu_baseline — clean-room reimplementation of
-ilia-glushchenko/SimplePathTracer's recursive tracer + <=4-thread tile pool,
-measured on this host) since the reference publishes no numbers
-(SURVEY.md S6).
+comparability; the rest ride in detail.metrics.  ``vs_baseline`` compares
+against the reference-semantics C++ CPU tracer (native/cpu_baseline —
+clean-room reimplementation of ilia-glushchenko/SimplePathTracer's
+recursive tracer + <=4-thread tile pool, measured on this host) since the
+reference publishes no numbers (SURVEY.md S6; its only instrumentation is
+the wall-clock printout, include/Renderer.hpp:294-299).
+
+Failure discipline (round-2 lesson: BENCH_r02.json was an unparseable
+traceback because the axon tunnel was wedged):
+  * the TPU backend is probed in a SUBPROCESS under a timeout before any
+    in-process jax work, retried once after a cooldown;
+  * every metric runs in its own try/except — a late failure still emits
+    the already-measured numbers;
+  * exactly ONE JSON line is printed no matter what; on failure it carries
+    an "error" field plus whatever partial metrics exist;
+  * partial results are also mirrored to BENCH_partial.json after every
+    metric, so even a hard kill (driver timeout) leaves evidence.
 
 Timing discipline (CLAUDE.md): never one-shot absolute timings through the
 remote-TPU tunnel — time the best of two identical cache-hit calls and
-synchronize on a 1-pixel slice.
+synchronize on a 1-pixel slice / scalar fetch.
 """
 
 import json
@@ -23,6 +39,7 @@ import os
 import subprocess
 import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -30,16 +47,32 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 WIDTH, HEIGHT, DEPTH = 1200, 800, 10
-WARMUP_SPP = 4
 BENCH_SPP = 100
-# 8 spp in ONE dispatch: the fused gradient path saves 21 [spp*W*H]-sized
-# f32 residual tiles per bounce (~840 MB/spp at depth 10 — 6.5 GB at 8 spp,
-# inside the 15.75 GB v5e), and each jitted dispatch through the tunnel
-# carries a measured ~35 ms fixed cost, so batching spp amortizes it
-# (measured 7.8 -> 9.9 Mpaths/s from 1 -> 8 spp; marginal cost is flat at
-# ~88.5 ms/spp).  Higher-spp steps chunk with rematerialization instead
-# (grad_safe_config auto-picks; inverse.fit at preset spp measured 6.7M).
+# 8 spp in ONE dispatch: the fused gradient path saves per-(ray, bounce)
+# f32 residual tiles (~6.5 GB at 8 spp, inside the 15.75 GB v5e), and each
+# jitted dispatch through the tunnel carries a measured ~35 ms fixed cost,
+# so batching spp amortizes it (measured 7.8 -> 9.9 Mpaths/s from 1 -> 8
+# spp).  Higher-spp steps chunk with rematerialization instead
+# (grad_safe_config auto-picks) — that sustained rate is the
+# fwd_bwd_sustained_100spp row.
 GRAD_SPP = 8
+SUSTAINED_SPP = 100
+PROBE_TIMEOUT_S = 170   # tiny-op probe budget (device init, no Mosaic compile)
+PROBE_COOLDOWN_S = 120  # wait before the one retry when the probe fails
+
+# Roofline constants for vpu_utilization.  The sphere scan issues ~35 VPU
+# ops per sphere per (8,128) ray tile (ops/pallas_common.closest_hit_scan:
+# 3 sub + 5+5 dot/fma + 2 disc + sqrt + 3 t-select + 3 cmp/and + 12 winner
+# selects); the measured issue ceiling after the 16x unroll is ~2.3
+# tile-ops/cycle at the assumed 940 MHz v5e TensorCore clock (CLAUDE.md,
+# experiments/unroll_bench.py).  utilization = useful scan ops / (ceiling x
+# elapsed): "useful" counts live-lane iterations only, so residual
+# straggler waste shows up as utilization < 1.
+OPS_PER_SPHERE = 35
+CLOCK_HZ = 0.94e9
+CEILING_OPS_PER_CYCLE = 2.3
+
+PARTIAL_PATH = os.path.join(REPO, "BENCH_partial.json")
 
 
 def cpu_baseline_paths_per_sec():
@@ -57,7 +90,31 @@ def cpu_baseline_paths_per_sec():
     return json.loads(out.strip().splitlines()[-1])
 
 
-def _bench_forward(spt, accumulate, init_state, scene, camera, config, key, spp):
+def probe_backend(timeout_s=PROBE_TIMEOUT_S):
+    """Health-check the TPU backend in a subprocess under a timeout.
+
+    A wedged axon tunnel hangs even jnp.ones((8,128))+1 (round-2 failure
+    mode); probing in-process would hang bench.py itself.  The probe is a
+    tiny op (device init only, no Mosaic kernel compile), so killing it on
+    timeout is the least-risk option available.
+    """
+    code = (
+        "import jax, jax.numpy as jnp, numpy as np;"
+        "x = jnp.ones((8,128)) + 1;"
+        "assert float(np.asarray(x[:1,:1]).ravel()[0]) == 2.0;"
+        "print('BACKEND_OK', jax.devices()[0])"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        return r.returncode == 0 and "BACKEND_OK" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _bench_forward(accumulate, init_state, scene, camera, config, key, spp):
     """(steady-state seconds, compile+first seconds) for one accumulate."""
 
     def sync(st):
@@ -77,7 +134,7 @@ def _bench_forward(spt, accumulate, init_state, scene, camera, config, key, spp)
     return dt, compile_s
 
 
-def _bench_grad(spt, scene, camera, config, key, spp):
+def _bench_grad(scene, camera, config, key, spp, spp_chunk, reps=2):
     """Steady-state seconds for one jitted value_and_grad of the pixel MSE."""
     import jax
     import jax.numpy as jnp
@@ -85,10 +142,11 @@ def _bench_grad(spt, scene, camera, config, key, spp):
     from simplepathtracer_tpu import inverse
     from simplepathtracer_tpu.render import grad_safe_config
 
-    # spp_chunk=spp: one unchunked dispatch (auto-chunking would insert
-    # rematerialization, which benchmarks the memory-constrained variant).
+    # spp_chunk=spp benches one unchunked dispatch; spp_chunk=0 lets
+    # grad_safe_config pick the rematerialization chunking (the
+    # memory-bounded variant the CLI fit actually runs).
     gcfg = grad_safe_config(
-        config.replace(spp=spp, spp_chunk=spp)
+        config.replace(spp=spp, spp_chunk=spp_chunk)
     ).replace(rr_start_depth=0)
     params, static_scene = inverse.split_params(scene)
     target = jnp.zeros((gcfg.height, gcfg.width, 3), jnp.float32)
@@ -103,89 +161,204 @@ def _bench_grad(spt, scene, camera, config, key, spp):
     run()
     compile_s = time.time() - t0
     dt = float("inf")
-    for _ in range(2):
+    for _ in range(reps):
         t0 = time.time()
         run()
         dt = min(dt, time.time() - t0)
     return dt, compile_s
 
 
+def _measure_scan_iters(scene, camera, config, key, probe_spp=2):
+    """Total live-lane kernel iterations per spp (the utilization probe).
+
+    Uses the persistent kernel's iteration counters (the same signal that
+    drives adaptive lane balancing).  Summed on-device; only the scalar
+    crosses the tunnel.
+    """
+    import jax.numpy as jnp
+
+    from simplepathtracer_tpu.render import _render_block_pallas
+
+    pixel_ids = jnp.arange(config.num_pixels, dtype=jnp.int32)
+    _, counts = _render_block_pallas(
+        scene, camera, config, key, pixel_ids, 0, probe_spp,
+        return_counts=True,
+    )
+    total = float(np.asarray(jnp.sum(counts)))
+    return total / probe_spp
+
+
+def emit(result, partial_only=False):
+    blob = json.dumps(result)
+    try:
+        with open(PARTIAL_PATH, "w") as f:
+            f.write(blob + "\n")
+    except OSError:
+        pass
+    if not partial_only:
+        print(blob)
+
+
 def main():
-    import jax
-
-    from simplepathtracer_tpu._cache import enable_compilation_cache
-
-    enable_compilation_cache()
-
-    import simplepathtracer_tpu as spt
-    from simplepathtracer_tpu.render import accumulate, init_state
-    from simplepathtracer_tpu.scenes import compact_scene
-
-    scene = compact_scene(spt.cover_scene(jax.random.PRNGKey(0), max_spheres=512))
-    camera = spt.make_camera(
-        origin=(13.0, 2.0, 3.0), lookat=(0.0, 0.0, 0.0), vfov_deg=20.0,
-        aperture=0.1, focus_dist=10.0,
-    )
-    config = spt.RenderConfig(
-        width=WIDTH, height=HEIGHT, spp=BENCH_SPP, max_depth=DEPTH, spp_chunk=0,
-        use_pallas=True, balance_probe_spp=2,
-    )
-    key = jax.random.PRNGKey(0)
-    base = cpu_baseline_paths_per_sec()
-    base_pps = base["paths_per_sec"]
-
-    fwd_dt, fwd_compile = _bench_forward(
-        spt, accumulate, init_state, scene, camera, config, key, BENCH_SPP
-    )
-    fwd_pps = WIDTH * HEIGHT * BENCH_SPP / fwd_dt
-
-    rr_dt, rr_compile = _bench_forward(
-        spt, accumulate, init_state, scene, camera,
-        config.replace(rr_start_depth=2), key, BENCH_SPP,
-    )
-    rr_pps = WIDTH * HEIGHT * BENCH_SPP / rr_dt
-
-    grad_dt, grad_compile = _bench_grad(spt, scene, camera, config, key, GRAD_SPP)
-    grad_pps = WIDTH * HEIGHT * GRAD_SPP / grad_dt
-
+    metrics = []
+    errors = []
+    detail = {
+        "config": f"{WIDTH}x{HEIGHT}@{BENCH_SPP}spp depth={DEPTH}",
+        "metrics": metrics,
+    }
     result = {
         "metric": "cover_scene_paths_per_sec_1chip",
-        "value": round(fwd_pps, 1),
+        "value": 0.0,
         "unit": "paths/s",
-        "vs_baseline": round(fwd_pps / base_pps, 3),
-        "detail": {
-            "config": f"{WIDTH}x{HEIGHT}@{BENCH_SPP}spp depth={DEPTH} spheres={scene.num_spheres}",
-            "device": str(jax.devices()[0]),
-            "cpu_baseline_paths_per_sec": base_pps,
-            "metrics": [
-                {
-                    "name": "fwd_paths_per_sec",
-                    "value": round(fwd_pps, 1),
-                    "vs_baseline": round(fwd_pps / base_pps, 3),
-                    "elapsed_s": round(fwd_dt, 3),
-                    "compile_plus_first_s": round(fwd_compile, 1),
-                },
-                {
-                    "name": "fwd_rr_paths_per_sec",
-                    "value": round(rr_pps, 1),
-                    "vs_baseline": round(rr_pps / base_pps, 3),
-                    "elapsed_s": round(rr_dt, 3),
-                    "compile_plus_first_s": round(rr_compile, 1),
-                    "rr_start_depth": 2,
-                },
-                {
-                    "name": "fwd_bwd_paths_per_sec",
-                    "value": round(grad_pps, 1),
-                    "vs_baseline": round(grad_pps / base_pps, 3),
-                    "elapsed_s": round(grad_dt, 3),
-                    "compile_plus_first_s": round(grad_compile, 1),
-                    "spp": GRAD_SPP,
-                },
-            ],
-        },
+        "vs_baseline": 0.0,
+        "detail": detail,
     }
-    print(json.dumps(result))
+
+    def fail(err):
+        result["error"] = err
+        if errors:
+            detail["errors"] = errors
+        emit(result)
+        return 1
+
+    # --- backend health gate (round-2 failure mode: wedged axon tunnel) ---
+    if not probe_backend():
+        time.sleep(PROBE_COOLDOWN_S)
+        if not probe_backend():
+            return fail("tpu_unavailable: backend probe failed twice "
+                        f"(timeout {PROBE_TIMEOUT_S}s, cooldown {PROBE_COOLDOWN_S}s)")
+
+    try:
+        base_pps = cpu_baseline_paths_per_sec()["paths_per_sec"]
+    except Exception as e:  # baseline is informative, not load-bearing
+        errors.append(f"cpu_baseline: {e!r}")
+        base_pps = None
+    detail["cpu_baseline_paths_per_sec"] = base_pps
+
+    def vs(x):
+        return round(x / base_pps, 3) if base_pps else None
+
+    try:
+        import jax
+
+        from simplepathtracer_tpu._cache import enable_compilation_cache
+
+        enable_compilation_cache()
+
+        import simplepathtracer_tpu as spt
+        from simplepathtracer_tpu.render import accumulate, init_state
+        from simplepathtracer_tpu.scenes import compact_scene
+
+        scene = compact_scene(spt.cover_scene(jax.random.PRNGKey(0), max_spheres=512))
+        camera = spt.make_camera(
+            origin=(13.0, 2.0, 3.0), lookat=(0.0, 0.0, 0.0), vfov_deg=20.0,
+            aperture=0.1, focus_dist=10.0,
+        )
+        config = spt.RenderConfig(
+            width=WIDTH, height=HEIGHT, spp=BENCH_SPP, max_depth=DEPTH,
+            spp_chunk=0, use_pallas=True, balance_probe_spp=2,
+        )
+        key = jax.random.PRNGKey(0)
+        detail["config"] += f" spheres={scene.num_spheres}"
+        detail["device"] = str(jax.devices()[0])
+    except Exception as e:
+        return fail(f"setup: {e!r}\n{traceback.format_exc(limit=3)}")
+
+    # --- fwd (headline) ----------------------------------------------------
+    try:
+        fwd_dt, fwd_compile = _bench_forward(
+            accumulate, init_state, scene, camera, config, key, BENCH_SPP
+        )
+        fwd_pps = WIDTH * HEIGHT * BENCH_SPP / fwd_dt
+        result["value"] = round(fwd_pps, 1)
+        result["vs_baseline"] = vs(fwd_pps) or 0.0
+        metrics.append({
+            "name": "fwd_paths_per_sec", "value": round(fwd_pps, 1),
+            "vs_baseline": vs(fwd_pps), "elapsed_s": round(fwd_dt, 3),
+            "compile_plus_first_s": round(fwd_compile, 1),
+        })
+        emit(result, partial_only=True)
+    except Exception as e:
+        errors.append(f"fwd: {e!r}")
+        fwd_dt = None
+
+    # --- vpu utilization (roofline check on the fwd number) ----------------
+    if fwd_dt is not None:
+        try:
+            iters_per_spp = _measure_scan_iters(scene, camera, config, key)
+            s_pad = -(-scene.num_spheres // 16) * 16
+            scan_ops = iters_per_spp * BENCH_SPP / 1024.0 * s_pad * OPS_PER_SPHERE
+            ops_per_cycle = scan_ops / (fwd_dt * CLOCK_HZ)
+            metrics.append({
+                "name": "vpu_utilization",
+                "value": round(ops_per_cycle / CEILING_OPS_PER_CYCLE, 3),
+                "ops_per_cycle": round(ops_per_cycle, 3),
+                "ceiling_ops_per_cycle": CEILING_OPS_PER_CYCLE,
+                "ops_per_sphere": OPS_PER_SPHERE,
+                "assumed_clock_ghz": CLOCK_HZ / 1e9,
+                "live_iters_per_path": round(
+                    iters_per_spp / (WIDTH * HEIGHT), 3
+                ),
+            })
+            emit(result, partial_only=True)
+        except Exception as e:
+            errors.append(f"vpu_utilization: {e!r}")
+
+    # --- fwd + Russian roulette --------------------------------------------
+    try:
+        rr_dt, rr_compile = _bench_forward(
+            accumulate, init_state, scene, camera,
+            config.replace(rr_start_depth=2), key, BENCH_SPP,
+        )
+        rr_pps = WIDTH * HEIGHT * BENCH_SPP / rr_dt
+        metrics.append({
+            "name": "fwd_rr_paths_per_sec", "value": round(rr_pps, 1),
+            "vs_baseline": vs(rr_pps), "elapsed_s": round(rr_dt, 3),
+            "compile_plus_first_s": round(rr_compile, 1), "rr_start_depth": 2,
+        })
+        emit(result, partial_only=True)
+    except Exception as e:
+        errors.append(f"fwd_rr: {e!r}")
+
+    # --- fwd+bwd, one unchunked 8-spp dispatch ------------------------------
+    try:
+        grad_dt, grad_compile = _bench_grad(
+            scene, camera, config, key, GRAD_SPP, spp_chunk=GRAD_SPP
+        )
+        grad_pps = WIDTH * HEIGHT * GRAD_SPP / grad_dt
+        metrics.append({
+            "name": "fwd_bwd_paths_per_sec", "value": round(grad_pps, 1),
+            "vs_baseline": vs(grad_pps), "elapsed_s": round(grad_dt, 3),
+            "compile_plus_first_s": round(grad_compile, 1), "spp": GRAD_SPP,
+        })
+        emit(result, partial_only=True)
+    except Exception as e:
+        errors.append(f"fwd_bwd: {e!r}")
+
+    # --- fwd+bwd sustained at the 100-spp preset (remat-chunked) ------------
+    try:
+        sus_dt, sus_compile = _bench_grad(
+            scene, camera, config, key, SUSTAINED_SPP, spp_chunk=0, reps=1
+        )
+        sus_pps = WIDTH * HEIGHT * SUSTAINED_SPP / sus_dt
+        metrics.append({
+            "name": "fwd_bwd_sustained_100spp_paths_per_sec",
+            "value": round(sus_pps, 1), "vs_baseline": vs(sus_pps),
+            "elapsed_s": round(sus_dt, 3),
+            "compile_plus_first_s": round(sus_compile, 1),
+            "spp": SUSTAINED_SPP,
+        })
+        emit(result, partial_only=True)
+    except Exception as e:
+        errors.append(f"fwd_bwd_sustained: {e!r}")
+
+    if errors:
+        detail["errors"] = errors
+    if result["value"] == 0.0:
+        return fail("no_headline_metric")
+    emit(result)
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
