@@ -102,7 +102,13 @@ def _load_fit_state(path, params_template, opt_state_template):
     import numpy as np
 
     with np.load(path) as z:
-        assert int(z["version"]) == 1, f"unknown fit snapshot version"
+        version = int(z["version"])
+        if version != 1:
+            raise ValueError(
+                f"unsupported fit snapshot version {version} in {path!r} "
+                "(expected 1) — stale or corrupt snapshot; delete it to "
+                "start the fit fresh"
+            )
         n = int(z["n_leaves"])
         flat = [jnp.asarray(z[f"leaf{i}"]) for i in range(n)]
         step = int(z["step"])

@@ -110,9 +110,10 @@ def bucket_rows_pallas(ct, idx, n_buckets: int, interpret: bool = False):
     if k_pad != k:
         ctt = jnp.concatenate([ctt, jnp.zeros((k_pad - k, n), ct.dtype)])
     if n_pad != n:
-        # Zero cotangent on padding rays: contributes nothing to any bucket.
+        # Padding rays: zero cotangent AND idx = -1, so an all-padding chunk
+        # takes the dead-chunk skip instead of bucketing zeros into slot 0.
         ctt = jnp.concatenate([ctt, jnp.zeros((k_pad, n_pad - n), ct.dtype)], axis=1)
-        idx = jnp.concatenate([idx, jnp.zeros((n_pad - n,), idx.dtype)])
+        idx = jnp.concatenate([idx, jnp.full((n_pad - n,), -1, idx.dtype)])
     idx_col = idx.reshape(n_pad, 1).astype(jnp.int32)
 
     vma = vma_union(ct, idx)

@@ -1,0 +1,266 @@
+"""Reference-EXACT semantics oracle: bug-for-bug NumPy reimplementation.
+
+The main framework implements the *intended* Shirley semantics (SURVEY.md
+S7 hard part 2); this module reproduces the reference's ACTUAL behaviors so
+its own shipped renders (images/7.bmp) can be pinned tightly instead of
+statistically.  Opt-in and test-only — nothing in the render paths uses it.
+
+Reproduced quirks (each cited into /root/reference):
+
+* Camera: u/v swapped — u = (y + jitter)/g_width drives dir.y, v =
+  (x + jitter)/g_height drives dir.x (SingleThreadPathTracer.hpp:125-127);
+  jitter is U(-1, 1), TWO pixels wide (Random.hpp:86 default args); basis =
+  Transpose(CreateCameraBasisMatrix(eyePos, lookAt, upDir)) built with the
+  buggy Cross whose z-term is a.x*b.x - a.y*b.x (Math.hpp:113-119, 198) —
+  for the default axis-aligned camera (Globals.hpp:22-24) the bug cancels
+  and the basis is exactly identity, which this oracle exploits.
+* Framebuffer index: g_size - ((g_width - x)*3 + y*g_width*3)
+  (SingleThreadPathTracer.hpp:120): pixel row y lands at stored row
+  H-1-y, so image-up is world-up.
+* Hit test: accept iff tCenter > 1e-3 AND r^2 - d_perp^2 > 1e-3 AND
+  t_near > 0 (the forward-facing Dot check, Collision.hpp:9-17, 99);
+  winner by min squared DISTANCE (== min positive t_near); the far root is
+  never considered (rays from inside a sphere miss it).
+* Diffuse: first hit sets sampleColor = g_colors[i] * 0.5 and scatters
+  along normalize(normal + shell_rand); every further hit in the tail loop
+  only HALVES sampleColor (the new sphere's color and material are ignored)
+  and scatters along normalize(hit_point + normal + shell_rand) — the
+  hit-point-added-into-direction bug; the loop runs while (--bounceCount &&
+  hit) and the final sampleColor is returned WITHOUT multiplying by the sky
+  (SingleThreadPathTracer.hpp:21-37).
+* "Random in sphere" is actually a SHELL: rejection keeps draws from
+  U(-0.5, 0.5)^3 with length >= 0.5 (inverted test, Random.hpp:115-127);
+  the "normal dist" variant is a verbatim copy (Random.hpp:129-141).
+* Metal: direction = normalize(reflect(d, n) + shell_rand * fuzz), no
+  color contribution (g_colors ignored), recursion does NOT decrement
+  bounceCount (SingleThreadPathTracer.hpp:39-46).
+* Glass: fixed n = 1.0/1.5, Schlick coin at entry; refracted ray jumps to
+  the FAR contact point of the same sphere, second Schlick/TIR test there,
+  then recurses OUTSIDE from the exit point in all cases (internal
+  reflection does not continue inside) — bounceCount never decremented
+  (SingleThreadPathTracer.hpp:48-92).
+* Sky: initColor * (dir.y + 1)/2 in 0..255 color space (:11-19), gamma
+  sqrt(c/255) at write (IOHelpers.hpp:17-22).
+
+The one unknowable: g_diffuses (metal fuzz) is randomized per run from a
+wall-clock-seeded RNG (SceneGenerators.hpp:124-131, Random.hpp:88); sphere
+2's fuzz is pinned to 0 but sphere 8's is random.  ``fuzz8`` exposes it for
+calibration against a given shipped render.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# InitSpheres constants (SceneGenerators.hpp:68-133) — these ARE the scene.
+COLORS = np.array(
+    [
+        [30, 144, 255], [10, 255, 110], [110, 10, 255], [255, 100, 230],
+        [200, 255, 110], [210, 10, 255], [255, 100, 150], [50, 255, 200],
+        [10, 210, 255], [255, 100, 220],
+    ],
+    np.float32,
+)
+CENTERS = np.array(
+    [
+        [0, -1e3 - 0.5, 0],
+        [-1, 0, 0], [0, 0, 0], [1, 0, 0],
+        [-1, 1, 0], [0, 1, 0], [1, 1, 0],
+        [-1, 2, 0], [0, 2, 0], [1, 2, 0],
+    ],
+    np.float32,
+)
+RADII = np.array([1e3] + [0.5] * 9, np.float32)
+DIFFUSE, REFLECTIVE, REFRACTIVE = 3, 1, 2  # Definitions.hpp:7-13 values
+MATERIALS = np.array(
+    [DIFFUSE, DIFFUSE, REFLECTIVE, DIFFUSE, DIFFUSE, REFRACTIVE,
+     DIFFUSE, DIFFUSE, REFLECTIVE, DIFFUSE],
+    np.int32,
+)
+INIT_COLOR = np.array([137, 207, 240], np.float32)  # Globals.hpp:29
+N_SPHERES = 10
+MAX_ITERS = 40  # cap on the unbounded specular recursion (loops are rare)
+
+
+def _shell_rand(rng, n, radius=0.5):
+    """Random.hpp:115-127 verbatim: U(-r, r)^3 rejected while |v| < r."""
+    out = rng.uniform(-radius, radius, (n, 3)).astype(np.float32)
+    bad = np.linalg.norm(out, axis=1) < radius
+    while bad.any():
+        out[bad] = rng.uniform(-radius, radius, (int(bad.sum()), 3))
+        bad = np.linalg.norm(out, axis=1) < radius
+    return out
+
+
+def _normalize(v):
+    return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+
+def _reflect(d, n):
+    return d - 2.0 * np.sum(d * n, -1, keepdims=True) * n
+
+
+def _find_closest(o, d):
+    """Collision.hpp:87-109: linear scan, min squared distance, forward
+    check.  Returns (idx [N] with N_SPHERES = miss, t [N])."""
+    oc = CENTERS[None, :, :] - o[:, None, :]              # [N, S, 3]
+    tc = np.sum(oc * d[:, None, :], -1)                   # [N, S]
+    d2 = np.sum(oc * oc, -1) - tc * tc
+    disc = RADII[None, :] ** 2 - d2
+    ok = (tc > 1e-3) & (disc > 1e-3)
+    t = tc - np.sqrt(np.maximum(disc, 0.0))
+    ok &= t > 0.0                                          # Collision.hpp:99
+    t_sel = np.where(ok, t, np.inf)
+    idx = np.argmin(t_sel, axis=1).astype(np.int32)
+    tmin = t_sel[np.arange(len(o)), idx]
+    idx = np.where(np.isinf(tmin), N_SPHERES, idx)
+    return idx, tmin
+
+
+def _trace(o, d, rng, fuzz, bounces):
+    """TraceAndSampleColor (SingleThreadPathTracer.hpp:94-112) for a ray
+    batch.  Returns [N, 3] color in 0..255 space."""
+    n_rays = o.shape[0]
+    color = np.zeros((n_rays, 3), np.float32)   # result
+    acc = np.zeros((n_rays, 3), np.float32)     # diffuse accumulator
+    bc = np.full(n_rays, bounces, np.int32)
+    phase = np.zeros(n_rays, np.int8)           # 0 spec, 1 diffuse tail, 2 done
+
+    for _ in range(MAX_ITERS):
+        live = phase < 2
+        if not live.any():
+            break
+        idx = np.full(n_rays, N_SPHERES, np.int32)
+        t = np.zeros(n_rays, np.float32)
+        idx[live], t[live] = _find_closest(o[live], d[live])
+        hit = idx < N_SPHERES
+        i = np.minimum(idx, N_SPHERES - 1)
+        point = o + t[:, None] * d
+        normal = _normalize(point - CENTERS[i])
+        shell = _shell_rand(rng, n_rays)
+
+        spec = live & (phase == 0)
+        diff_tail = live & (phase == 1)
+
+        # --- specular-phase miss -> sky (terminal) -----------------------
+        sky = INIT_COLOR[None, :] * ((d[:, 1] + 1.0) * 0.5)[:, None]
+        m = spec & ~hit
+        color[m] = sky[m]
+        phase[m] = 2
+
+        # --- specular-phase diffuse hit -> enter the tail ----------------
+        m = spec & hit & (MATERIALS[i] == DIFFUSE)
+        acc[m] = COLORS[i[m]] * 0.5
+        o[m] = point[m]
+        d[m] = _normalize(normal[m] + shell[m])
+        phase[m] = 1
+
+        # --- diffuse tail: while (--bounceCount && hit) ------------------
+        bc[diff_tail] -= 1
+        m_done = diff_tail & ((bc == 0) | ~hit)
+        color[m_done] = acc[m_done]
+        phase[m_done] = 2
+        m = diff_tail & ~m_done
+        acc[m] *= 0.5
+        o[m] = point[m]
+        # Hit point ADDED into the direction (the :32 bug).
+        d[m] = _normalize(point[m] + normal[m] + shell[m])
+
+        # --- metal: reflect + fuzz * shell, no attenuation ---------------
+        m = spec & hit & (MATERIALS[i] == REFLECTIVE)
+        d[m] = _normalize(
+            _reflect(d[m], normal[m]) + shell[m] * fuzz[i[m]][:, None]
+        )
+        o[m] = point[m]
+
+        # --- glass (SingleThreadPathTracer.hpp:48-92) --------------------
+        m = spec & hit & (MATERIALS[i] == REFRACTIVE)
+        if m.any():
+            dg = d[m]
+            ng = normal[m]
+            pg = point[m]
+            cg = CENTERS[i[m]]
+            rg = RADII[i[m]][:, None]
+            c = -np.sum(ng * dg, -1)
+            r = np.float32(1.0 / 1.5)
+            r0 = ((1.0 - 1.5) / (1.0 + 1.5)) ** 2
+            schlick = r0 + (1.0 - r0) * (1.0 - c) ** 5
+            coin = rng.uniform(0, 1, c.shape).astype(np.float32)
+            refl = coin < schlick
+            # Reflected at entry.
+            d_out = _reflect(dg, ng)
+            o_out = pg.copy()
+            # Refracted: cross to the far side.
+            rt = ~refl
+            if rt.any():
+                d1 = _normalize(
+                    dg[rt] * r
+                    + ng[rt] * (r * c[rt] - np.sqrt(1.0 - r * r * (1.0 - c[rt] ** 2)))[:, None]
+                )
+                # Farthest contact point of the same sphere from the entry.
+                oc = cg[rt] - pg[rt]
+                tc2 = np.sum(oc * d1, -1)
+                dd2 = np.sum(oc * oc, -1) - tc2 * tc2
+                tfar = tc2 + np.sqrt(np.maximum(rg[rt, 0] ** 2 - dd2, 0.0))
+                exit_p = pg[rt] + tfar[:, None] * d1
+                n2 = -_normalize(exit_p - cg[rt])
+                c2 = -np.sum(n2 * d1, -1)
+                r2 = np.float32(1.5)
+                r0b = ((1.5 - 1.0) / (1.5 + 1.0)) ** 2
+                schlick2 = r0b + (1.0 - r0b) * (1.0 - c2) ** 5
+                coin2 = rng.uniform(0, 1, c2.shape).astype(np.float32)
+                refl2 = coin2 < schlick2
+                sin_out = r2 * np.sqrt(np.maximum(1.0 - c2 ** 2, 0.0))
+                can_exit = (~refl2) & (sin_out < 1.0)
+                arg = np.maximum(1.0 - r2 * r2 * (1.0 - c2 ** 2), 0.0)
+                d_exit = _normalize(
+                    d1 * r2 + n2 * (r2 * c2 - np.sqrt(arg))[:, None]
+                )
+                # All three inner branches recurse from the exit point:
+                # exit-refract, or reflect(d1, n2) for both the inner
+                # Schlick coin AND the TIR fallback.
+                d_out[rt] = np.where(can_exit[:, None], d_exit, _reflect(d1, n2))
+                o_out[rt] = exit_p
+            d[m] = d_out
+            o[m] = o_out
+
+    # Rays still in flight at the cap (rare specular loops): sky them.
+    m = phase < 2
+    if m.any():
+        sky = INIT_COLOR[None, :] * ((d[:, 1] + 1.0) * 0.5)[:, None]
+        color[m] = np.where(phase[m, None] == 1, acc[m], sky[m])
+    return color
+
+
+def render_ref_exact(side=135, spp=32, seed=0, fuzz8=0.01, bounces=10):
+    """Render the REFERENCE scene with reference-exact semantics.
+
+    Returns [side, side, 3] float32 in [0, 1], gamma-corrected like
+    io::WritePixel (sqrt(c/255)), oriented like the shipped BMPs (row 0 =
+    top = world up).  ``fuzz8``: the wall-clock-randomized fuzz of the
+    upper metal sphere (see module docstring).
+    """
+    rng = np.random.default_rng(seed)
+    fuzz = np.full(N_SPHERES, 0.01, np.float32)  # resize default, :124
+    fuzz[2] = 0.0                                # g_diffuses[2] = 0, :131
+    fuzz[8] = fuzz8
+    eye = np.array([0.0, 1.0, -3.0], np.float32)
+
+    x = np.arange(side, dtype=np.float32)
+    rows = np.arange(side, dtype=np.float32)
+    y = (side - 1.0) - rows                     # stored row <- pixel y flip
+    xg, yg = np.meshgrid(x, y)                  # [side, side]
+    n = side * side
+    accum = np.zeros((n, 3), np.float32)
+    for _ in range(spp):
+        jx = rng.uniform(-1, 1, n).astype(np.float32)
+        jy = rng.uniform(-1, 1, n).astype(np.float32)
+        u = (yg.ravel() + jy) / np.float32(side)   # u from y (the swap)
+        v = (xg.ravel() + jx) / np.float32(side)
+        d = np.stack([-1.0 + 2.0 * v, -1.0 + 2.0 * u, np.ones(n, np.float32)], -1)
+        d = _normalize(d)
+        o = np.broadcast_to(eye, (n, 3)).copy()
+        accum += _trace(o, d, rng, fuzz, bounces)
+    mean = accum / np.float32(spp)
+    img = np.sqrt(np.clip(mean / 255.0, 0.0, 1.0))
+    return img.reshape(side, side, 3)

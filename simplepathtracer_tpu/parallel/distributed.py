@@ -79,11 +79,19 @@ def initialize_cluster(
         # swallowing initialize() errors here would mask real cluster
         # misconfiguration on pods, so we gate on config presence instead.)
         return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        # _distributed_client_active probes a jax-internal handle; if that
+        # internal moves it reports False and we land here on an
+        # already-initialized client.  Degrade gracefully for exactly that
+        # case; re-raise real cluster misconfiguration.
+        if "already initialized" not in str(e).lower():
+            raise
 
 
 def make_multihost_mesh(samples_per_host: int = 1) -> Mesh:

@@ -209,8 +209,13 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
             )
             hit_mask = idx >= 0
             i = jnp.maximum(idx, 0)
+            # attach gets the -1-MASKED idx: the bucket kernel skips chunks
+            # whose every idx is -1 (late-bounce dead tiles), and a -1 row
+            # matches no one-hot lane so its exactly-zero cotangent buckets
+            # nowhere.  The clamped ``i`` is only for the forward-side hit
+            # reconstruction below.
             cx, cy, cz, r, ar, ag, ab, fz, io = attach_attr_columns(
-                config.pallas_interpret, attr9, i, *attr_vals
+                config.pallas_interpret, attr9, idx, *attr_vals
             )
             hit = hit_from_gathered(
                 o, d, i, hit_mask, jnp.stack([cx, cy, cz], -1), r,
@@ -525,8 +530,12 @@ def accumulate(
 
     chunk = config.spp_chunk or n_samples
     chunk = min(chunk, n_samples)
-    n_steps, rem = divmod(n_samples, chunk)
-    assert rem == 0, "n_samples must be divisible by spp_chunk"
+    if n_samples % chunk:
+        # Same largest-divisor fallback as render_pixel_block: spp_chunk is
+        # an upper bound, not a contract (e.g. the CLI's auto-picked live
+        # preview chunk need not be a multiple of it).
+        chunk = next(c for c in range(chunk, 0, -1) if n_samples % c == 0)
+    n_steps = n_samples // chunk
 
     def step(accum, i):
         off = state.sample_count + i * chunk
