@@ -46,6 +46,29 @@ The one unknowable: g_diffuses (metal fuzz) is randomized per run from a
 wall-clock-seeded RNG (SceneGenerators.hpp:124-131, Random.hpp:88); sphere
 2's fuzz is pinned to 0 but sphere 8's is random.  ``fuzz8`` exposes it for
 calibration against a given shipped render.
+
+The 7.bmp-era scene state
+-------------------------
+The shipped renders (images/1.bmp-7.bmp) carry no code state (the repo is
+a snapshot without git history), and 7.bmp demonstrably predates the
+current InitSpheres: sampling a 30x30 patch at each sphere's projected
+center (camera {0,1,-3} -> {0,1,0}, z=1 NDC) and inverting the
+sqrt(c/255) gamma shows
+
+  * spheres 5 (0,1,0) and 8 (0,2,0) render MATTE in their own g_colors
+    (measured linear rgb ~ colors[i] * 0.5 for a short diffuse tail) —
+    today they are REFRACTIVE/REFLECTIVE (SceneGenerators.hpp:112-123);
+  * sphere 2 (0,0,0) is the only mirror (smooth grey-blue, fuzz ~ 0);
+  * sphere 1 (-1,0,0) measures linear ~[47, 4, 111] — a half-brightness
+    {110, 10, 255}, NOT today's colors[1] = {10, 255, 110} (green); that
+    era's list evidently had the purple at index 1.
+
+``scene_7bmp()`` applies exactly those three documented deltas.  With them
+plus the bug-for-bug semantics above, a 135x135@48spp oracle render
+matches the 8x-downsampled 7.bmp at luminance correlation 0.986 and mean
+abs gamma-space difference 0.016 (tests/test_golden_reference.py pins
+0.95/0.06) — versus 0.905/0.034 against the current-code scene, the
+residual being entirely the two re-materialized spheres.
 """
 
 from __future__ import annotations
@@ -82,6 +105,16 @@ N_SPHERES = 10
 MAX_ITERS = 40  # cap on the unbounded specular recursion (loops are rare)
 
 
+def scene_7bmp():
+    """(colors, materials) of the inferred 7.bmp-era scene state (see the
+    module docstring): one mirror (sphere 2), no glass, purple colors[1]."""
+    colors = COLORS.copy()
+    colors[1] = [110, 10, 255]
+    materials = np.full(N_SPHERES, DIFFUSE, np.int32)
+    materials[2] = REFLECTIVE
+    return colors, materials
+
+
 def _shell_rand(rng, n, radius=0.5):
     """Random.hpp:115-127 verbatim: U(-r, r)^3 rejected while |v| < r."""
     out = rng.uniform(-radius, radius, (n, 3)).astype(np.float32)
@@ -93,7 +126,11 @@ def _shell_rand(rng, n, radius=0.5):
 
 
 def _normalize(v):
-    return v / np.linalg.norm(v, axis=-1, keepdims=True)
+    # NaNs on never-selected lanes (np.where evaluates both sides) are
+    # expected; suppress the warning rather than perturb the math with an
+    # epsilon the reference does not have (Math.hpp:140-154).
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return v / np.linalg.norm(v, axis=-1, keepdims=True)
 
 
 def _reflect(d, n):
@@ -102,7 +139,7 @@ def _reflect(d, n):
 
 def _find_closest(o, d):
     """Collision.hpp:87-109: linear scan, min squared distance, forward
-    check.  Returns (idx [N] with N_SPHERES = miss, t [N])."""
+    check.  Returns (idx [N] with N_SPHERES = miss, t [N])."""  # noqa: D401
     oc = CENTERS[None, :, :] - o[:, None, :]              # [N, S, 3]
     tc = np.sum(oc * d[:, None, :], -1)                   # [N, S]
     d2 = np.sum(oc * oc, -1) - tc * tc
@@ -117,7 +154,7 @@ def _find_closest(o, d):
     return idx, tmin
 
 
-def _trace(o, d, rng, fuzz, bounces):
+def _trace(o, d, rng, fuzz, bounces, colors, materials):
     """TraceAndSampleColor (SingleThreadPathTracer.hpp:94-112) for a ray
     batch.  Returns [N, 3] color in 0..255 space."""
     n_rays = o.shape[0]
@@ -149,8 +186,8 @@ def _trace(o, d, rng, fuzz, bounces):
         phase[m] = 2
 
         # --- specular-phase diffuse hit -> enter the tail ----------------
-        m = spec & hit & (MATERIALS[i] == DIFFUSE)
-        acc[m] = COLORS[i[m]] * 0.5
+        m = spec & hit & (materials[i] == DIFFUSE)
+        acc[m] = colors[i[m]] * 0.5
         o[m] = point[m]
         d[m] = _normalize(normal[m] + shell[m])
         phase[m] = 1
@@ -167,14 +204,14 @@ def _trace(o, d, rng, fuzz, bounces):
         d[m] = _normalize(point[m] + normal[m] + shell[m])
 
         # --- metal: reflect + fuzz * shell, no attenuation ---------------
-        m = spec & hit & (MATERIALS[i] == REFLECTIVE)
+        m = spec & hit & (materials[i] == REFLECTIVE)
         d[m] = _normalize(
             _reflect(d[m], normal[m]) + shell[m] * fuzz[i[m]][:, None]
         )
         o[m] = point[m]
 
         # --- glass (SingleThreadPathTracer.hpp:48-92) --------------------
-        m = spec & hit & (MATERIALS[i] == REFRACTIVE)
+        m = spec & hit & (materials[i] == REFRACTIVE)
         if m.any():
             dg = d[m]
             ng = normal[m]
@@ -232,14 +269,19 @@ def _trace(o, d, rng, fuzz, bounces):
     return color
 
 
-def render_ref_exact(side=135, spp=32, seed=0, fuzz8=0.01, bounces=10):
+def render_ref_exact(side=135, spp=32, seed=0, fuzz8=0.01, bounces=10,
+                     colors=None, materials=None):
     """Render the REFERENCE scene with reference-exact semantics.
 
     Returns [side, side, 3] float32 in [0, 1], gamma-corrected like
     io::WritePixel (sqrt(c/255)), oriented like the shipped BMPs (row 0 =
     top = world up).  ``fuzz8``: the wall-clock-randomized fuzz of the
-    upper metal sphere (see module docstring).
+    upper metal sphere (see module docstring).  ``colors``/``materials``
+    override the current-code InitSpheres tables (pass scene_7bmp()'s to
+    match the shipped render).
     """
+    colors = COLORS if colors is None else np.asarray(colors, np.float32)
+    materials = MATERIALS if materials is None else np.asarray(materials, np.int32)
     rng = np.random.default_rng(seed)
     fuzz = np.full(N_SPHERES, 0.01, np.float32)  # resize default, :124
     fuzz[2] = 0.0                                # g_diffuses[2] = 0, :131
@@ -260,7 +302,7 @@ def render_ref_exact(side=135, spp=32, seed=0, fuzz8=0.01, bounces=10):
         d = np.stack([-1.0 + 2.0 * v, -1.0 + 2.0 * u, np.ones(n, np.float32)], -1)
         d = _normalize(d)
         o = np.broadcast_to(eye, (n, 3)).copy()
-        accum += _trace(o, d, rng, fuzz, bounces)
+        accum += _trace(o, d, rng, fuzz, bounces, colors, materials)
     mean = accum / np.float32(spp)
     img = np.sqrt(np.clip(mean / 255.0, 0.0, 1.0))
     return img.reshape(side, side, 3)
