@@ -69,22 +69,36 @@ def _block_sizes(config: RenderConfig, mesh: Mesh):
     return p_total // nt, config.spp // ns
 
 
-def render_accum_sharded(scene: Scene, camera: Camera, config: RenderConfig, key, mesh: Mesh):
-    """Sharded radiance accumulation: returns [P, 3] radiance *sum* over all
-    spp, laid out sharded over the ``tiles`` mesh axis.
+def render_accum_sharded(
+    scene: Scene, camera: Camera, config: RenderConfig, key, mesh: Mesh,
+    sample_offset: int = 0, n_samples: int | None = None,
+):
+    """Sharded radiance accumulation: returns [P, 3] radiance *sum* over
+    ``n_samples`` spp (default all of config.spp), laid out sharded over the
+    ``tiles`` mesh axis.
 
     Each (tile, sample) shard renders its pixel block for its sample slice;
     the sample axis is reduced with ``psum`` so every tile shard holds the
-    full-spp sum for its pixels.
+    full-spp sum for its pixels.  ``sample_offset`` continues the global
+    sample-id sequence — the resume hook for sharded checkpointing
+    (checkpoint.save_sharded): because all randomness is keyed by global
+    (pixel, sample) ids, accumulating [0, k) then [k, spp) is bit-identical
+    to one [0, spp) pass.
     """
-    p_local, s_local = _block_sizes(config, mesh)
+    if n_samples is None:
+        n_samples = config.spp
+    p_local, _ = _block_sizes(config, mesh)
+    ns = mesh.shape["samples"]
+    assert n_samples % ns == 0, f"{n_samples} spp not divisible by samples={ns}"
+    s_local = n_samples // ns
 
     def body(scene, camera, key):
         ti = jax.lax.axis_index("tiles")
         si = jax.lax.axis_index("samples")
         pixel_ids = ti * p_local + jnp.arange(p_local, dtype=jnp.int32)
         acc = render_pixel_block(
-            scene, camera, config, key, pixel_ids, si * s_local, s_local
+            scene, camera, config, key, pixel_ids,
+            sample_offset + si * s_local, s_local,
         )
         return jax.lax.psum(acc, "samples")
 

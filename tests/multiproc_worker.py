@@ -20,6 +20,12 @@ def main():
     coordinator, num_procs, proc_id, outdir = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
     )
+    # "render" (default): full render + grad step (the original harness).
+    # "crash":  render HALF the spp, save a sharded snapshot, then DIE
+    #           (os._exit) before finishing — the failure being recovered.
+    # "resume": restore the sharded snapshot, render the remaining spp,
+    #           write final parts.  crash+resume must equal one full run.
+    mode = sys.argv[5] if len(sys.argv) > 5 else "render"
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     os.environ["XLA_FLAGS"] = (
@@ -55,9 +61,50 @@ def main():
     key = jax.random.PRNGKey(7)
 
     mesh = make_mesh(tiles=4, samples=2)  # tile shards span both hosts
-    acc = jax.jit(
-        lambda s, c, k: render_accum_sharded(s, c, cfg, k, mesh),
-    )(scene, cam, key)
+    snap_prefix = os.path.join(outdir, "shard_snap")
+
+    if mode == "crash":
+        from simplepathtracer_tpu import checkpoint
+
+        half = cfg.spp // 2
+        acc = jax.jit(
+            lambda s, c, k: render_accum_sharded(s, c, cfg, k, mesh, 0, half),
+        )(scene, cam, key)
+        checkpoint.save_sharded(snap_prefix, acc, half, key, scene, cfg, mesh, cam)
+        # File barrier: when the first process dies, the coordination
+        # service tears down the peer — make sure BOTH snapshots exist
+        # before either crash (a real fleet snapshots on a schedule, so
+        # all hosts have one from the same step).
+        import time
+
+        open(os.path.join(outdir, f"snapped{proc_id}"), "w").close()
+        deadline = time.time() + 60
+        while not all(
+            os.path.exists(os.path.join(outdir, f"snapped{i}"))
+            for i in range(num_procs)
+        ):
+            if time.time() > deadline:
+                os._exit(3)
+            time.sleep(0.05)
+        print(f"proc {proc_id}: snapshot at {half} spp, crashing now", flush=True)
+        os._exit(17)  # simulate a mid-render host failure
+
+    if mode == "resume":
+        from simplepathtracer_tpu import checkpoint
+
+        acc0, done, key_r, scene_r, cfg_r, cam_r = checkpoint.load_sharded(
+            snap_prefix, mesh
+        )
+        acc = acc0 + jax.jit(
+            lambda s, c, k: render_accum_sharded(
+                s, c, cfg_r, k, mesh, done, cfg_r.spp - done
+            ),
+        )(scene_r, cam_r, key_r)
+        cfg = cfg_r
+    else:
+        acc = jax.jit(
+            lambda s, c, k: render_accum_sharded(s, c, cfg, k, mesh),
+        )(scene, cam, key)
 
     start, size = local_tile_slice(mesh, cfg.num_pixels)
     # Collect this process's addressable rows of the tile-sharded output.
@@ -71,6 +118,10 @@ def main():
     assert seen.all(), "local tile slice does not cover all addressable shards"
     np.save(os.path.join(outdir, f"part{proc_id}.npy"), local)
     np.save(os.path.join(outdir, f"range{proc_id}.npy"), np.array([start, size]))
+
+    if mode == "resume":
+        print(f"proc {proc_id}: resumed rows [{start}, {start+size}) ok", flush=True)
+        return
 
     # One sharded gradient step across both processes: loss and grads are
     # replicated outputs (psum over both mesh axes), so every process holds

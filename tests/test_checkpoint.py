@@ -4,6 +4,7 @@ import os
 
 import jax
 import numpy as np
+import pytest
 
 import simplepathtracer_tpu as spt
 from simplepathtracer_tpu import checkpoint
@@ -59,3 +60,55 @@ def test_atomic_overwrite(tmp_path):
     s2, _, _, cam2 = checkpoint.load(p)
     assert cam2 is None  # saved without a camera
     np.testing.assert_array_equal(np.asarray(s.accum), np.asarray(s2.accum))
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """Sharded snapshot/restore on the 8-device mesh: save after 4 spp,
+    restore, continue 4 more — bit-identical to an uninterrupted 8-spp
+    sharded render (VERDICT r2 missing #4)."""
+    from simplepathtracer_tpu.parallel import make_mesh, render_accum_sharded
+
+    scene = spt.three_sphere_scene()
+    cam = spt.make_camera(origin=(0, 0, -1), lookat=(0, 0, 1), vfov_deg=60.0)
+    cfg = spt.RenderConfig(width=32, height=16, spp=8, max_depth=4)
+    key = jax.random.PRNGKey(3)
+    mesh = make_mesh(tiles=4, samples=2)
+
+    acc4 = jax.jit(
+        lambda s, c, k: render_accum_sharded(s, c, cfg, k, mesh, 0, 4)
+    )(scene, cam, key)
+    prefix = str(tmp_path / "shard_snap")
+    path = checkpoint.save_sharded(prefix, acc4, 4, key, scene, cfg, mesh, cam)
+    assert path.endswith(".proc0of1.npz")
+
+    acc_l, done, key_l, scene_l, cfg_l, cam_l = checkpoint.load_sharded(prefix, mesh)
+    assert done == 4 and cfg_l == cfg
+    np.testing.assert_array_equal(np.asarray(acc_l), np.asarray(acc4))
+    assert cam_l is not None
+
+    more = jax.jit(
+        lambda s, c, k: render_accum_sharded(s, c, cfg_l, k, mesh, done, 4)
+    )(scene_l, cam_l, key_l)
+    resumed = np.asarray(acc_l + more)
+
+    full = np.asarray(jax.jit(
+        lambda s, c, k: render_accum_sharded(s, c, cfg, k, mesh, 0, 8)
+    )(scene, cam, key))
+    # Same samples, same per-pixel summation order (chunked identically).
+    np.testing.assert_allclose(resumed, full, rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_checkpoint_mesh_mismatch(tmp_path):
+    from simplepathtracer_tpu.parallel import make_mesh, render_accum_sharded
+
+    scene = spt.simple_scene()
+    cam = spt.make_camera(origin=(0, 0, -1), lookat=(0, 0, 1))
+    cfg = spt.RenderConfig(width=16, height=8, spp=2, max_depth=2)
+    key = jax.random.PRNGKey(0)
+    mesh = make_mesh(tiles=4, samples=2)
+    acc = render_accum_sharded(scene, cam, cfg, key, mesh, 0, 2)
+    prefix = str(tmp_path / "m")
+    checkpoint.save_sharded(prefix, acc, 2, key, scene, cfg, mesh, cam)
+    other = make_mesh(tiles=8, samples=1)
+    with pytest.raises(ValueError, match="mesh"):
+        checkpoint.load_sharded(prefix, other)
