@@ -166,3 +166,52 @@ def test_fit_snapshot_resume_bit_identical(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(resumed_scene.albedo), np.asarray(ref_scene.albedo)
     )
+
+
+def test_fit_recovers_ior():
+    """The glass sphere's refraction index is advertised as differentiable
+    (DIFF_LEAVES) — prove a fit actually recovers it (VERDICT r2 weak #7).
+    The signal is the refraction distortion of the background seen through
+    the glass, so the camera looks at the glass sphere."""
+    cam = spt.make_camera(origin=(-1.0, 0.0, -0.6), lookat=(-1.0, 0.0, 1.0),
+                          vfov_deg=60)
+    cfg = spt.RenderConfig(width=48, height=32, spp=16, max_depth=6)
+    key = jax.random.PRNGKey(4)
+    truth = spt.three_sphere_scene(hollow_glass=False)
+    target = inverse.render_linear(truth, cam, cfg, jax.random.fold_in(key, 999))
+
+    start = truth.replace(ior=truth.ior.at[3].set(2.2))
+    # Freeze every slot but the glass sphere's: the other iors are inert
+    # (zero gradient through the material select) but Adam would random-walk
+    # them on MC noise if any leaked.
+    mask = {"ior": jnp.zeros_like(truth.ior).at[3].set(1.0)}
+    recovered, losses = inverse.fit(
+        start, target, cam, cfg, key, steps=40, lr=3e-2,
+        leaves=("ior",), param_mask=mask,
+    )
+    err_before = abs(float(start.ior[3]) - 1.5)
+    err_after = abs(float(recovered.ior[3]) - 1.5)
+    assert err_after < err_before * 0.5, (
+        f"ior {float(start.ior[3])} -> {float(recovered.ior[3])} (truth 1.5); "
+        f"losses {losses[::10]}"
+    )
+
+
+def test_fit_recovers_sky():
+    """sky_lo / sky_hi ride in DIFF_LEAVES — prove a fit recovers them.
+    The sky enters radiance linearly (miss shader + throughput products),
+    so this converges fast."""
+    truth, _, cam, cfg, key = _setup()
+    target = inverse.render_linear(truth, cam, cfg, jax.random.fold_in(key, 999))
+    start = truth.replace(
+        sky_lo=jnp.asarray([0.9, 0.4, 0.2], jnp.float32),   # sunset instead
+        sky_hi=jnp.asarray([0.2, 0.2, 0.7], jnp.float32),
+    )
+    recovered, losses = inverse.fit(
+        start, target, cam, cfg, key, steps=30, lr=5e-2,
+        leaves=("sky_lo", "sky_hi"),
+    )
+    for leaf in ("sky_lo", "sky_hi"):
+        err_before = float(jnp.abs(getattr(start, leaf) - getattr(truth, leaf)).mean())
+        err_after = float(jnp.abs(getattr(recovered, leaf) - getattr(truth, leaf)).mean())
+        assert err_after < err_before * 0.35, (leaf, err_before, err_after, losses[::8])
