@@ -53,6 +53,8 @@ def save(
     }
     for f in _SCENE_FIELDS:
         payload[f"scene_{f}"] = np.asarray(getattr(scene, f))
+    if scene.plane is not None:
+        payload["scene_plane"] = np.asarray(scene.plane)
     if camera is not None:
         for f in _CAMERA_FIELDS:
             payload[f"camera_{f}"] = np.asarray(getattr(camera, f))
@@ -119,6 +121,8 @@ def save_sharded(
     }
     for f in _SCENE_FIELDS:
         payload[f"scene_{f}"] = np.asarray(getattr(scene, f))
+    if scene.plane is not None:
+        payload["scene_plane"] = np.asarray(scene.plane)
     if camera is not None:
         for f in _CAMERA_FIELDS:
             payload[f"camera_{f}"] = np.asarray(getattr(camera, f))
@@ -183,7 +187,10 @@ def load_sharded(prefix: str, mesh):
         local = np.asarray(z["accum_rows"], np.float32)
         sample_count = int(z["sample_count"])
         next_key = jnp.asarray(z["next_key"])
-        scene = Scene(**{f: jnp.asarray(z[f"scene_{f}"]) for f in _SCENE_FIELDS})
+        scene = Scene(
+            **{f: jnp.asarray(z[f"scene_{f}"]) for f in _SCENE_FIELDS},
+            plane=jnp.asarray(z["scene_plane"]) if "scene_plane" in z else None,
+        )
         camera = None
         if f"camera_{_CAMERA_FIELDS[0]}" in z:
             camera = Camera(
@@ -213,7 +220,10 @@ def load(path: str):
             sample_count=jnp.asarray(z["sample_count"], jnp.int32),
             next_key=jnp.asarray(z["next_key"]),
         )
-        scene = Scene(**{f: jnp.asarray(z[f"scene_{f}"]) for f in _SCENE_FIELDS})
+        scene = Scene(
+            **{f: jnp.asarray(z[f"scene_{f}"]) for f in _SCENE_FIELDS},
+            plane=jnp.asarray(z["scene_plane"]) if "scene_plane" in z else None,
+        )
         camera = None
         if f"camera_{_CAMERA_FIELDS[0]}" in z:
             camera = Camera(

@@ -36,6 +36,7 @@ from .pallas_common import (
     closest_hit_scan,
     hit_point_normal,
     pad_scene_tables,
+    plane_override,
     scatter_tiles,
     sky_components,
     threefry2x32,
@@ -57,6 +58,7 @@ def _bounce_kernel(
     cx_ref, cy_ref, cz_ref, rad_ref, r2_ref,
     albr_ref, albg_ref, albb_ref, mat_ref, fuzz_ref, ior_ref,
     sky_ref,   # f32[6]: lo rgb, hi rgb
+    plane_ref, # f32[7]: ground plane (normal, offset, albedo); zeros if unused
     meta_ref,  # u32[3]: k0, k1, bounce
     # VMEM ray state (8,128) blocks
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -66,6 +68,7 @@ def _bounce_kernel(
     n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
     n_tr, n_tg, n_tb, n_rr, n_rg, n_rb, n_alive,
     *, n_spheres: int, t_min: float, t_max: float, rr_start_depth: int = 0,
+    use_plane: bool = False,
 ):
     tables = (
         cx_ref, cy_ref, cz_ref, rad_ref, r2_ref,
@@ -77,10 +80,15 @@ def _bounce_kernel(
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
 
-        (t, bi, cx, cy, cz, r, ar, ag, ab, mat, fz, io) = closest_hit_scan(
+        winner = closest_hit_scan(
             tables, ox, oy, oz, dx, dy, dz,
             n_spheres=n_spheres, t_min=t_min, t_max=t_max,
         )
+        if use_plane:
+            winner = plane_override(
+                plane_ref, winner, ox, oy, oz, dx, dy, dz, t_min=t_min
+            )
+        (t, bi, cx, cy, cz, r, ar, ag, ab, mat, fz, io) = winner
         hit = bi >= 0
         px, py, pz, nx, ny, nz = hit_point_normal(
             ox, oy, oz, dx, dy, dz, t, cx, cy, cz, r
@@ -170,7 +178,7 @@ def _bounce_kernel(
 )
 def bounce_step_pallas(
     state, scene_tables, sky6, meta3, t_min=1e-3, t_max=3.0e7,
-    rr_start_depth=0, interpret=False,
+    rr_start_depth=0, interpret=False, plane7=None,
 ):
     """One bounce on SoA ray state.
 
@@ -180,9 +188,14 @@ def bounce_step_pallas(
       scene_tables: tuple of 11 [S] arrays — cx cy cz radius r2 albr albg
         albb (f32), mat (i32), fuzz ior (f32).
       sky6: f32[6] (sky_lo rgb, sky_hi rgb).  meta3: u32[3] (k0, k1, bounce).
+      plane7: optional f32[7] Lambertian ground plane
+        (scenes.with_ground_plane layout); None disables the plane test.
 
     Returns the 13 updated state arrays (ox..rb, alive).
     """
+    use_plane = plane7 is not None
+    if plane7 is None:
+        plane7 = jnp.zeros((7,), jnp.float32)
     rows = state[0].shape[0]
     grid = (rows // _SUB,)
     blk = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -191,14 +204,14 @@ def bounce_step_pallas(
     s = scene_tables[0].shape[0]
     kernel = functools.partial(
         _bounce_kernel, n_spheres=s, t_min=float(t_min), t_max=float(t_max),
-        rr_start_depth=int(rr_start_depth),
+        rr_start_depth=int(rr_start_depth), use_plane=use_plane,
     )
-    vma = vma_union(*state, meta3, *scene_tables)
+    vma = vma_union(*state, meta3, *scene_tables, plane7)
     out_sds = [jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma)] * 13
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem] * 13 + [blk] * 15,
+        in_specs=[smem] * 14 + [blk] * 15,
         out_specs=tuple([blk] * 13),
         out_shape=tuple(out_sds),
         cost_estimate=pl.CostEstimate(
@@ -207,4 +220,4 @@ def bounce_step_pallas(
             transcendentals=8 * rows * _LANE * (s + 4),
         ),
         interpret=interpret,
-    )(*scene_tables, sky6, meta3, *state)
+    )(*scene_tables, sky6, plane7, meta3, *state)

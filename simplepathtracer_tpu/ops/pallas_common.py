@@ -179,6 +179,51 @@ def closest_hit_scan(
     return jax.lax.fori_loop(0, n_spheres // unroll, body, init)
 
 
+def plane_override(plane_ref, winner, ox, oy, oz, dx, dy, dz, *, t_min: float):
+    """Merge an optional Lambertian ground plane into the scan winner.
+
+    ``plane_ref``: f32[7] SMEM (unit normal xyz, offset k, albedo rgb) —
+    scenes.with_ground_plane layout; ``winner``: the closest_hit_scan
+    result tuple (t, index, cx, cy, cz, r, albr, albg, albb, mat, fuzz,
+    ior).  Where the plane hit is nearer, the winner becomes a VIRTUAL UNIT
+    SPHERE tangent at the hit point (center = point - face_normal, r = 1),
+    so the downstream hit_point_normal recovers exactly the face-forward
+    plane normal with zero extra kernel code; attributes become the plane's
+    (Lambertian, fuzz 0).  index is set to 1<<20 — any non-negative value
+    reads as "hit"; nothing indexes tables with it.  Costs ~one sphere of
+    VPU work per iteration and is only EMITTED when the scene has a plane
+    (static use_plane flags in the kernel wrappers).
+
+    Reference counterpart: the dead RayPlaneIntersection/
+    CalculateRayPlaneContactPoint (include/Collision.hpp:73-85), live here.
+    """
+    (bt, bi, bcx, bcy, bcz, br, bar, bag, bab, bm, bf, bio) = winner
+    pnx, pny, pnz, pk = plane_ref[0], plane_ref[1], plane_ref[2], plane_ref[3]
+    denom = dx * pnx + dy * pny + dz * pnz
+    num = -(ox * pnx + oy * pny + oz * pnz + pk)
+    live = jnp.abs(denom) > 1e-8
+    tp = num / jnp.where(live, denom, 1.0)
+    wins = live & (tp > t_min) & (tp < bt)
+    # Face-forward side: the normal opposing the incoming ray.
+    sgn = jnp.where(denom > 0.0, -1.0, 1.0)
+    px = ox + tp * dx
+    py = oy + tp * dy
+    pz = oz + tp * dz
+    bt = jnp.where(wins, tp, bt)
+    bi = jnp.where(wins, 1 << 20, bi)
+    bcx = jnp.where(wins, px - sgn * pnx, bcx)
+    bcy = jnp.where(wins, py - sgn * pny, bcy)
+    bcz = jnp.where(wins, pz - sgn * pnz, bcz)
+    br = jnp.where(wins, 1.0, br)
+    bar = jnp.where(wins, plane_ref[4], bar)
+    bag = jnp.where(wins, plane_ref[5], bag)
+    bab = jnp.where(wins, plane_ref[6], bab)
+    bm = jnp.where(wins, int(Material.LAMBERTIAN), bm)
+    bf = jnp.where(wins, 0.0, bf)
+    bio = jnp.where(wins, 1.0, bio)
+    return (bt, bi, bcx, bcy, bcz, br, bar, bag, bab, bm, bf, bio)
+
+
 def camera_ray_tiles(cam_ref, xf, yf, jx, jy, lu, lv, *, width: int, height: int):
     """Thin-lens camera ray on tiles from pixel coords + 4 uniforms.
 

@@ -52,6 +52,7 @@ from .pallas_common import (
     closest_hit_scan,
     hit_point_normal,
     pad_scene_tables,
+    plane_override,
     scatter_tiles,
     sky_components,
     threefry2x32,
@@ -72,6 +73,7 @@ def _persistent_kernel(
     cx_ref, cy_ref, cz_ref, rad_ref, r2_ref,
     albr_ref, albg_ref, albb_ref, mat_ref, fuzz_ref, ior_ref,
     sky_ref,   # f32[6]
+    plane_ref, # f32[7]: ground plane (normal, offset, albedo); zeros if unused
     cam_ref,   # f32[19]: origin 0:3, lower_left 3:6, horizontal 6:9,
                #          vertical 9:12, u 12:15, v 15:18, lens_radius 18
     meta_ref,  # u32[2]: k0, k1 (replicated/unvarying under shard_map)
@@ -86,7 +88,7 @@ def _persistent_kernel(
     out_n,                # (n_banks, 8, 128) f32 iteration counts
     *, n_spheres: int, n_samples: int, max_depth: int, n_banks: int,
     width: int, height: int, t_min: float, t_max: float,
-    rr_start_depth: int = 0,
+    rr_start_depth: int = 0, use_plane: bool = False,
 ):
     f32 = jnp.float32
     shape = (_SUB, _LANE)
@@ -166,10 +168,15 @@ def _persistent_kernel(
         itc = itc + jnp.where(alive, 1.0, 0.0)
 
         # ---- closest hit + reconstruction (shared tile physics) ---------
-        (t, bi, cx, cy, cz, r, ar, ag, ab, mat, fz, io) = closest_hit_scan(
+        winner = closest_hit_scan(
             tables, ox, oy, oz, dx, dy, dz,
             n_spheres=n_spheres, t_min=t_min, t_max=t_max,
         )
+        if use_plane:
+            winner = plane_override(
+                plane_ref, winner, ox, oy, oz, dx, dy, dz, t_min=t_min
+            )
+        (t, bi, cx, cy, cz, r, ar, ag, ab, mat, fz, io) = winner
         hit = bi >= 0
 
         px, py, pz, nx, ny, nz = hit_point_normal(
@@ -261,7 +268,7 @@ def render_block_persistent(
     pixel_ids, scene_tables, sky6, cam19, key2, sample_offset,
     n_samples, max_depth, width, height,
     t_min=1e-3, t_max=3.0e7, rr_start_depth=0, interpret=False, n_banks=None,
-    return_counts=False,
+    return_counts=False, plane7=None,
 ):
     """Radiance SUM over n_samples for each pixel id. Returns [P, 3] f32.
     With ``return_counts=True`` returns ([P, 3] radiance, [P] f32 kernel
@@ -308,6 +315,9 @@ def render_block_persistent(
     yf = yf.reshape(n_banks, rows, _LANE)
     soff = jnp.full((rows, _LANE), jnp.asarray(sample_offset, jnp.uint32))
 
+    use_plane = plane7 is not None
+    if plane7 is None:
+        plane7 = jnp.zeros((7,), jnp.float32)
     scene_tables = pad_scene_tables(scene_tables)
     s = scene_tables[0].shape[0]
     kernel = functools.partial(
@@ -315,7 +325,7 @@ def render_block_persistent(
         n_spheres=s, n_samples=int(n_samples), max_depth=int(max_depth),
         n_banks=n_banks, width=int(width), height=int(height),
         t_min=float(t_min), t_max=float(t_max),
-        rr_start_depth=int(rr_start_depth),
+        rr_start_depth=int(rr_start_depth), use_plane=use_plane,
     )
     blk2 = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
     blk3 = pl.BlockSpec(
@@ -324,7 +334,7 @@ def render_block_persistent(
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     # Under shard_map outputs must declare their varying mesh axes (vma):
     # inherit the union from the inputs.
-    vma = vma_union(pixel_ids, key2, sample_offset, *scene_tables)
+    vma = vma_union(pixel_ids, key2, sample_offset, *scene_tables, plane7)
 
     def to_vma(x):
         missing = vma - getattr(jax.typeof(x), "vma", frozenset())
@@ -335,7 +345,7 @@ def render_block_persistent(
     out_r, out_g, out_b, out_n = pl.pallas_call(
         kernel,
         grid=(rows // _SUB,),
-        in_specs=[smem] * 14 + [blk3, blk2, blk3, blk3],
+        in_specs=[smem] * 15 + [blk3, blk2, blk3, blk3],
         out_specs=(blk3, blk3, blk3, blk3),
         out_shape=tuple(
             jax.ShapeDtypeStruct((n_banks, rows, _LANE), jnp.float32, vma=vma)
@@ -347,7 +357,8 @@ def render_block_persistent(
             transcendentals=16 * lanes_pad * n_banks * int(n_samples),
         ),
         interpret=interpret,
-    )(*scene_tables, sky6, cam19, jnp.asarray(key2, jnp.uint32), pix, soff, xf, yf)
+    )(*scene_tables, sky6, plane7, cam19, jnp.asarray(key2, jnp.uint32),
+      pix, soff, xf, yf)
     # Undo the banked layout: position k*n_lanes + l -> [k, l].
     def unbank(o):
         return o.reshape(n_banks, lanes_pad)[:, :n_lanes].reshape(-1)[:p]

@@ -93,7 +93,7 @@ def trace_rays_pallas(origins, dirs, keys, scene: Scene, config: RenderConfig):
             st + (pix, samp), tables, sky6, meta,
             t_min=config.t_min, t_max=config.t_max,
             rr_start_depth=config.rr_start_depth,
-            interpret=config.pallas_interpret,
+            interpret=config.pallas_interpret, plane7=scene.plane,
         )
         return tuple(out), None
 
@@ -158,6 +158,12 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
     """
     if config.use_pallas:
         return trace_rays_pallas(origins, dirs, keys, scene, config)
+
+    if scene.plane is not None and (config.use_pallas_grad or config.use_pallas_hits):
+        # The fused/hits GRADIENT kernels are sphere-only; plane scenes take
+        # the jnp bounce below (still differentiable w.r.t. every
+        # DIFF_LEAVES member).  Forward kernels above DO trace the plane.
+        config = config.replace(use_pallas_grad=False, use_pallas_hits=False)
 
     if config.use_pallas_grad:
         # Fully-fused differentiable path: forward AND backward bounce run
@@ -224,9 +230,41 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
             new_d, att, scattered = scatter_attrs(
                 d, hit.normal, mat, jnp.stack([ar, ag, ab], -1), fz, io, unif,
             )
-        else:
+        elif scene.plane is None:
             hit = intersect_scene(o, d, scene, config.t_min, config.t_max)
             new_d, att, scattered = scatter(d, hit, scene, unif)
+        else:
+            # Sphere scan + Lambertian ground-plane candidate (the
+            # reference's dead Collision.hpp:73-85, live here).  Where the
+            # plane is nearer, the winner's point/normal/attributes are
+            # overridden; sphere-table cotangents are blocked by the selects
+            # on plane-win lanes (their gathered values are unused).
+            from .ops.materials import scatter_attrs
+            from .ops.plane import ray_plane_intersection
+
+            hit = intersect_scene(o, d, scene, config.t_min, config.t_max)
+            ph = ray_plane_intersection(
+                o, d, scene.plane[:3], scene.plane[3],
+                config.t_min, config.t_max,
+            )
+            pw = ph.hit & (ph.t < hit.t)
+            from .ops.intersect import Hit
+
+            hit = Hit(
+                t=jnp.where(pw, ph.t, hit.t),
+                index=hit.index,
+                hit=hit.hit | pw,
+                point=jnp.where(pw[:, None], ph.point, hit.point),
+                normal=jnp.where(pw[:, None], ph.normal, hit.normal),
+            )
+            i = hit.index
+            mat = jnp.where(pw, 0, scene.material[i])
+            alb = jnp.where(pw[:, None], scene.plane[None, 4:7], scene.albedo[i])
+            fz = jnp.where(pw, 0.0, scene.fuzz[i])
+            io = jnp.where(pw, 1.0, scene.ior[i])
+            new_d, att, scattered = scatter_attrs(
+                d, hit.normal, mat, alb, fz, io, unif
+            )
 
         # Miss shader: sky gradient, terminal (SingleThreadPathTracer.hpp:11-19).
         miss = alive & ~hit.hit
@@ -308,6 +346,7 @@ def render_pixels(
         config.use_pallas_grad
         and not config.use_pallas
         and config.silhouette_softness == 0.0
+        and scene.plane is None
     ):
         # Fully-fused fast path incl. in-kernel camera ray generation — the
         # XLA-side threefry + ray math + packing was a measured ~35 ms
@@ -352,7 +391,7 @@ def _render_block_pallas(
         t_min=config.t_min, t_max=config.t_max,
         rr_start_depth=config.rr_start_depth,
         interpret=config.pallas_interpret,
-        return_counts=return_counts,
+        return_counts=return_counts, plane7=scene.plane,
     )
 
 

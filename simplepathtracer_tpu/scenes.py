@@ -301,6 +301,34 @@ def cover_scene(key, max_spheres: int = 512) -> Scene:
     )
 
 
+def with_ground_plane(
+    scene: Scene,
+    normal=(0.0, 1.0, 0.0),
+    point=(0.0, -0.5, 0.0),
+    albedo=(246 / 255.0, 219 / 255.0, 219 / 255.0),
+) -> Scene:
+    """Attach a Lambertian infinite plane to a scene.
+
+    Defaults are the reference's (dead) plane constants: planeNormal
+    {0,1,0}, planePoint {0,-0.5,0}, planeColor {246,219,219}
+    (include/Globals.hpp:26-28).  The plane is live in every forward path
+    (jnp bounce + both Pallas kernels, where it costs ~one extra sphere per
+    scan); the fused/hits gradient kernels are sphere-only, so gradient
+    entry points fall back to the jnp bounce for plane scenes (render.py).
+
+    An infinite plane is better-conditioned than the radius-1e3/1e6 ground
+    spheres the reference actually uses (SceneGenerators.hpp:84, 9-10): no
+    catastrophic cancellation in r^2 - |oc|^2 at grazing distance.
+    """
+    n = jnp.asarray(normal, jnp.float32)
+    n = n / jnp.linalg.norm(n)
+    k = -jnp.dot(n, jnp.asarray(point, jnp.float32))
+    plane7 = jnp.concatenate(
+        [n, jnp.reshape(k, (1,)), jnp.asarray(albedo, jnp.float32)]
+    )
+    return scene.replace(plane=plane7)
+
+
 def compact_scene(scene: Scene, pad_multiple: int = 4) -> Scene:
     """Drop dead padding slots (host-side, eager arrays only).
 

@@ -74,6 +74,14 @@ class Scene:
     ior: Array       # [S]    f32, dielectric refraction index (e.g. 1.5)
     sky_lo: Array    # [3]    f32, sky color at dir.y == -1
     sky_hi: Array    # [3]    f32, sky color at dir.y == +1
+    # Optional Lambertian infinite plane: [7] f32 (unit normal xyz, offset k
+    # with the surface {p : dot(n, p) + k = 0}, albedo rgb), or None.  The
+    # reference counterpart is its DEAD plane code + constants
+    # (include/Collision.hpp:73-85, Globals.hpp:26-28) — here it is live in
+    # every forward path (jnp bounce + both Pallas kernels); gradient entry
+    # points fall back to the jnp bounce (scenes.with_ground_plane).  Not a
+    # DIFF_LEAVES member: plane parameters are not optimized.
+    plane: Array | None = None
 
     @property
     def num_spheres(self) -> int:
