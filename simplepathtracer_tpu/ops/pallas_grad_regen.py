@@ -1,0 +1,648 @@
+"""Regeneration-based fused differentiable tracing: persistent-style
+forward AND backward gradient kernels.
+
+Why: the per-bounce fused path (ops/pallas_grad.py) sweeps every ray block
+``max_depth`` times; a 1024-lane block skips a sweep only when ALL lanes
+are dead, and on open scenes ~15 scattered survivors keep ~75% of blocks
+alive to the last bounce — measured ~64% of the forward kernel time is
+dead-lane work (BASELINE.md round-2 decomposition).  The forward-only
+persistent kernel (ops/pallas_persistent.py) already solved this with
+in-lane regeneration: when a lane's path terminates it immediately starts
+the SAME pixel's next sample, so utilization tracks the mean path length
+(~2.7 bounces) instead of the depth budget.  This module applies that
+design to the DIFFERENTIABLE path:
+
+  * ``_regen_fwd_kernel`` — one pallas program per 1024-lane block, with a
+    sequential grid dimension over iteration CHUNKS: ray state lives in
+    VMEM scratch (persists across the sequential grid on TPU), each grid
+    step advances ``_CHUNK`` iterations and streams that chunk's
+    per-iteration residuals to HBM (the full (B, 8, 128) residual planes
+    would blow VMEM; chunking keeps the live output block at
+    ``_CHUNK x 100 KB``).  Lanes serve ``n_banks`` pixels x ``n_samples``
+    chains each; a fully-finished block memsets its chunk (alive=0,
+    idx=-1) and skips the physics.  The static budget
+    B = n_banks * n_samples * max_depth is the worst case, so every chain
+    ALWAYS completes — but execution exits at the block's actual work
+    (~mean path length), which is the entire win.
+  * ``_regen_bwd_kernel`` — the same grid walked in REVERSE: carried
+    (o, d, tp) cotangents live in scratch; per iteration it re-derives the
+    bounce's adjoints by calling ``jax.vjp`` on the SAME ``bounce_tile``
+    the per-bounce path differentiates (physics cannot drift), zeroes the
+    carried cotangents at regeneration boundaries (a chain's camera-ray
+    entry is detached), selects the radiance cotangent of the lane's
+    CURRENT pixel bank, and emits per-iteration winner-attribute
+    cotangents for the MXU bucket kernel.  Iterations recorded dead
+    (including the unexecuted tail) pass carries through untouched.
+
+Radiance values are bit-compatible with the other paths (same threefry
+streams keyed by global (pixel, sample) ids, same shared tile physics);
+per-pixel sums accumulate in ascending sample order exactly like
+render_pixel_block's chunked scan.
+
+Reference counterpart: none (the reference is not differentiable); the
+regeneration idea is the TPU form of its wavefront queue refill
+(include/TaskBasedPathTracer.hpp:61-79), here extended to autodiff.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_common import (
+    LANE as _LANE,
+    SUB as _SUB,
+    camera_ray_tiles,
+    closest_hit_scan,
+    pad_scene_tables,
+    threefry2x32,
+    to_unit_float,
+    vma_union,
+)
+from .pallas_grad import bounce_tile
+
+_BLOCK = _SUB * _LANE
+_CHUNK = 8          # iterations per sequential grid step (residual streaming)
+DEFAULT_BANKS = 8   # pixels per lane (chains/lane = banks * n_samples)
+
+# Residual plane order (each (B, rows, 128)):
+#   0-2  entry origin   3-5  entry direction   6-8  entry throughput
+#   9 alive  10 regen  11 kb  12 s  13 b      (f32/i32 masks + chain ids)
+#   14 idx  15 mat                              (winner discrete)
+#   16-24 winner attrs cx cy cz r ar ag ab fz io
+_N_RES = 25
+
+
+def _uniforms7_tile(k0, k1, pix, samp, b_tile):
+    """Bounce uniforms with a PER-LANE bounce index tile (slot map of
+    ops/sampling.py; the per-bounce kernels use a scalar bounce)."""
+    c1b = samp << jnp.uint32(8)
+    slot0 = b_tile * jnp.uint32(4)
+    u = []
+    for e in range(4):
+        w0, w1 = threefry2x32(k0, k1, pix, c1b | (slot0 + jnp.uint32(e)))
+        u.append(to_unit_float(w0))
+        u.append(to_unit_float(w1))
+    return tuple(u[:7])
+
+
+def _regen_fwd_kernel(
+    # SMEM
+    cx_ref, cy_ref, cz_ref, rad_ref, r2_ref,
+    albr_ref, albg_ref, albb_ref, mat_ref, fuzz_ref, ior_ref,
+    sky_ref, cam_ref, meta_ref,
+    # VMEM inputs
+    pix_ref, xf_ref, yf_ref,      # (n_banks, 8, 128)
+    soff_ref,                     # (8, 128) u32
+    # outputs: radiance banks + this chunk's residual planes, then the
+    # scratch refs (ray state persisting across the sequential chunk grid:
+    # kb, s, b (u32), alive, o3, d3, tp3, acc3 (f32)) — both arrive
+    # positionally, so they share *rest and are sliced below.
+    out_r, out_g, out_b,          # (n_banks, 8, 128), pinned across chunks
+    *rest,
+    n_spheres: int, n_banks: int, n_samples: int, max_depth: int,
+    width: int, height: int, t_min: float, t_max: float,
+    rr_start_depth: int,
+):
+    res = rest[:_N_RES]           # _N_RES x (_CHUNK, 8, 128) outputs
+    (kb_s, s_s, b_s, alive_s,
+     ox_s, oy_s, oz_s, dx_s, dy_s, dz_s,
+     tr_s, tg_s, tb_s, acr_s, acg_s, acb_s) = rest[_N_RES:]
+    f32 = jnp.float32
+    shape = (_SUB, _LANE)
+    tables = (
+        cx_ref, cy_ref, cz_ref, rad_ref, r2_ref,
+        albr_ref, albg_ref, albb_ref, mat_ref, fuzz_ref, ior_ref,
+    )
+    k0, k1 = meta_ref[0], meta_ref[1]
+    nbank_u = jnp.uint32(n_banks)
+    nsamp_u = jnp.uint32(n_samples)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        zero = jnp.zeros(shape, f32)
+        for k in range(n_banks):
+            out_r[k] = zero
+            out_g[k] = zero
+            out_b[k] = zero
+        kb_s[:] = jnp.zeros(shape, jnp.uint32)
+        s_s[:] = jnp.zeros(shape, jnp.uint32)
+        b_s[:] = jnp.zeros(shape, jnp.uint32)
+        alive_s[:] = zero
+        ox_s[:] = zero
+        oy_s[:] = zero
+        oz_s[:] = zero
+        dx_s[:] = zero
+        dy_s[:] = zero
+        dz_s[:] = jnp.ones(shape, f32)
+        tr_s[:] = jnp.ones(shape, f32)
+        tg_s[:] = jnp.ones(shape, f32)
+        tb_s[:] = jnp.ones(shape, f32)
+        acr_s[:] = zero
+        acg_s[:] = zero
+        acb_s[:] = zero
+
+    busy = jnp.any((kb_s[:] < nbank_u) | (alive_s[:] > 0.0))
+
+    def do_chunk():
+        def body(kl, _):
+            alive = alive_s[:] > 0.0
+            kb = kb_s[:]
+            s = s_s[:]
+            b = b_s[:]
+            samp = soff_ref[:] + s
+
+            # ---- regenerate exhausted lanes (next sample / next bank) ----
+            regen = (~alive) & (kb < nbank_u)
+            npix, nxf, nyf = pix_ref[0], xf_ref[0], yf_ref[0]
+            for k in range(1, n_banks):
+                in_k = kb == jnp.uint32(k)
+                npix = jnp.where(in_k, pix_ref[k], npix)
+                nxf = jnp.where(in_k, xf_ref[k], nxf)
+                nyf = jnp.where(in_k, yf_ref[k], nyf)
+            c1b = samp << jnp.uint32(8)
+            w0, w1 = threefry2x32(k0, k1, npix, c1b | jnp.uint32(124))
+            jx, jy = to_unit_float(w0), to_unit_float(w1)
+            w0, w1 = threefry2x32(k0, k1, npix, c1b | jnp.uint32(125))
+            lu, lv = to_unit_float(w0), to_unit_float(w1)
+            cox, coy, coz, cdx, cdy, cdz = camera_ray_tiles(
+                cam_ref, nxf, nyf, jx, jy, lu, lv, width=width, height=height
+            )
+            rf = jnp.where(regen, 1.0, 0.0)
+            ox = jnp.where(regen, cox, ox_s[:])
+            oy = jnp.where(regen, coy, oy_s[:])
+            oz = jnp.where(regen, coz, oz_s[:])
+            dx = jnp.where(regen, cdx, dx_s[:])
+            dy = jnp.where(regen, cdy, dy_s[:])
+            dz = jnp.where(regen, cdz, dz_s[:])
+            tr = jnp.where(regen, 1.0, tr_s[:])
+            tg = jnp.where(regen, 1.0, tg_s[:])
+            tb = jnp.where(regen, 1.0, tb_s[:])
+            b = jnp.where(regen, jnp.uint32(0), b)
+            alive = alive | regen
+            # npix is already the CURRENT bank's pixel for every lane (kb
+            # was advanced at the previous flush), regen or not.
+            pix = npix
+
+            # ---- record the iteration's entry (post-regen) residuals -----
+            res[0][kl] = ox
+            res[1][kl] = oy
+            res[2][kl] = oz
+            res[3][kl] = dx
+            res[4][kl] = dy
+            res[5][kl] = dz
+            res[6][kl] = tr
+            res[7][kl] = tg
+            res[8][kl] = tb
+            res[9][kl] = jnp.where(alive, 1.0, 0.0)
+            res[10][kl] = rf
+            res[11][kl] = pltpu.bitcast(kb, jnp.int32)
+            res[12][kl] = pltpu.bitcast(s, jnp.int32)
+            res[13][kl] = pltpu.bitcast(b, jnp.int32)
+
+            # ---- closest hit + shared differentiable bounce --------------
+            winner = closest_hit_scan(
+                tables, ox, oy, oz, dx, dy, dz,
+                n_spheres=n_spheres, t_min=t_min, t_max=t_max,
+            )
+            (t_scan, bi, wcx, wcy, wcz, wr, war, wag, wab, wmat, wfz, wio) = winner
+            del t_scan
+            hit = bi >= 0
+            res[14][kl] = jnp.where(alive & hit, bi, -1)
+            res[15][kl] = wmat
+            a9 = (wcx, wcy, wcz, wr, war, wag, wab, wfz, wio)
+            for j, a in enumerate(a9):
+                res[16 + j][kl] = a
+
+            u = _uniforms7_tile(k0, k1, pix, samp, b)
+            do_rr = b >= jnp.uint32(rr_start_depth)
+            sky6 = tuple(sky_ref[i] for i in range(6))
+            (no3, nd3, ntp3, rad3, surv_f) = bounce_tile(
+                (ox, oy, oz), (dx, dy, dz), (tr, tg, tb),
+                a9, wmat, hit, alive, u, sky6, do_rr,
+                t_min=t_min, t_max=t_max, rr_on=bool(rr_start_depth),
+            )
+            # Depth budget termination on top of scatter/RR termination
+            # (the per-bounce path terminates by scan length instead).
+            b_next = b + jnp.uint32(1)
+            surv = (surv_f > 0.0) & (b_next < jnp.uint32(max_depth))
+
+            acr = acr_s[:] + rad3[0]
+            acg = acg_s[:] + rad3[1]
+            acb = acb_s[:] + rad3[2]
+
+            terminated = alive & ~surv
+            s_next = s + jnp.uint32(1)
+            bank_done = s_next >= nsamp_u
+            flush = terminated & bank_done
+            flush_f = jnp.where(flush, 1.0, 0.0)
+            for k in range(n_banks):
+                mk = flush_f * jnp.where(kb == jnp.uint32(k), 1.0, 0.0)
+                out_r[k] = out_r[k] + acr * mk
+                out_g[k] = out_g[k] + acg * mk
+                out_b[k] = out_b[k] + acb * mk
+            keep = 1.0 - flush_f
+            acr_s[:] = acr * keep
+            acg_s[:] = acg * keep
+            acb_s[:] = acb * keep
+
+            ox_s[:], oy_s[:], oz_s[:] = no3
+            dx_s[:], dy_s[:], dz_s[:] = nd3
+            tr_s[:], tg_s[:], tb_s[:] = ntp3
+            b_s[:] = jnp.where(surv, b_next, b)
+            s_s[:] = jnp.where(
+                terminated, jnp.where(bank_done, jnp.uint32(0), s_next), s
+            )
+            kb_s[:] = jnp.where(flush, kb + jnp.uint32(1), kb)
+            alive_s[:] = jnp.where(surv, 1.0, 0.0)
+            return 0
+
+        jax.lax.fori_loop(0, _CHUNK, body, 0)
+
+    def skip_chunk():
+        # Fully-finished block: mark the chunk's iterations dead so the
+        # backward pass and the bucket kernel skip them (their other
+        # residual planes are never read when alive == 0 / idx == -1).
+        zero = jnp.zeros(shape, f32)
+        neg1 = jnp.full(shape, -1, jnp.int32)
+
+        def body(kl, _):
+            res[9][kl] = zero
+            res[14][kl] = neg1
+            return 0
+
+        jax.lax.fori_loop(0, _CHUNK, body, 0)
+
+    jax.lax.cond(busy, do_chunk, skip_chunk)
+
+
+def _regen_bwd_kernel(
+    # SMEM
+    sky_ref, meta_ref,
+    # VMEM inputs: residual planes for this chunk + pix banks + soff + ct
+    e_ox, e_oy, e_oz, e_dx, e_dy, e_dz, e_tr, e_tg, e_tb,
+    alive_r, regen_r, kb_r, s_r, b_r, idx_r, mat_r,
+    a_cx, a_cy, a_cz, a_r, a_ar, a_ag, a_ab, a_fz, a_io,
+    pix_ref, soff_ref,
+    ctr_ref, ctg_ref, ctb_ref,     # (n_banks, 8, 128) radiance cotangents
+    # outputs: per-iteration attr cotangents + sky partials
+    o_cx, o_cy, o_cz, o_r, o_ar, o_ag, o_ab, o_fz, o_io,   # (_CHUNK, 8, 128)
+    s_lor, s_log, s_lob, s_hir, s_hig, s_hib,              # (8, 128) pinned
+    # scratch: carried cotangents
+    cox_s, coy_s, coz_s, cdx_s, cdy_s, cdz_s, ctr_s, ctg_s, ctb_s,
+    n_banks: int, max_depth: int, t_min: float, t_max: float,
+    rr_start_depth: int,
+):
+    f32 = jnp.float32
+    shape = (_SUB, _LANE)
+    k0, k1 = meta_ref[0], meta_ref[1]
+    attr_outs = (o_cx, o_cy, o_cz, o_r, o_ar, o_ag, o_ab, o_fz, o_io)
+    sky_accs = (s_lor, s_log, s_lob, s_hir, s_hig, s_hib)
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _init_sky():
+        zero = jnp.zeros(shape, f32)
+        for s in sky_accs:
+            s[:] = zero
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init_carries():
+        zero = jnp.zeros(shape, f32)
+        for s in (cox_s, coy_s, coz_s, cdx_s, cdy_s, cdz_s, ctr_s, ctg_s, ctb_s):
+            s[:] = zero
+
+    def body(i, _):
+        kl = _CHUNK - 1 - i  # reverse within the chunk (chunks reversed by grid)
+        alive = alive_r[kl] > 0.0
+
+        def do_iter():
+            o3 = (e_ox[kl], e_oy[kl], e_oz[kl])
+            d3 = (e_dx[kl], e_dy[kl], e_dz[kl])
+            tp3 = (e_tr[kl], e_tg[kl], e_tb[kl])
+            a9 = tuple(r[kl] for r in (a_cx, a_cy, a_cz, a_r, a_ar, a_ag,
+                                       a_ab, a_fz, a_io))
+            mat = mat_r[kl]
+            idxv = idx_r[kl]
+            hit = idxv >= 0
+            kb = pltpu.bitcast(kb_r[kl], jnp.uint32)
+            s = pltpu.bitcast(s_r[kl], jnp.uint32)
+            b = pltpu.bitcast(b_r[kl], jnp.uint32)
+            samp = soff_ref[:] + s
+            # Bank-select the lane's pixel id and radiance cotangent.
+            pix = pix_ref[0]
+            ctr, ctg, ctb = ctr_ref[0], ctg_ref[0], ctb_ref[0]
+            for k in range(1, n_banks):
+                in_k = kb == jnp.uint32(k)
+                pix = jnp.where(in_k, pix_ref[k], pix)
+                ctr = jnp.where(in_k, ctr_ref[k], ctr)
+                ctg = jnp.where(in_k, ctg_ref[k], ctg)
+                ctb = jnp.where(in_k, ctb_ref[k], ctb)
+
+            u = _uniforms7_tile(k0, k1, pix, samp, b)
+            do_rr = b >= jnp.uint32(rr_start_depth)
+            sky6 = tuple(sky_ref[i2] for i2 in range(6))
+
+            def f(o3, d3, tp3, a9):
+                return bounce_tile(
+                    o3, d3, tp3, a9, mat, hit, alive, u, sky6, do_rr,
+                    t_min=t_min, t_max=t_max, rr_on=bool(rr_start_depth),
+                )[:4]
+
+            _, pull = jax.vjp(f, o3, d3, tp3, a9)
+            ct_o, ct_d, ct_tp, ct_a9 = pull((
+                (cox_s[:], coy_s[:], coz_s[:]),
+                (cdx_s[:], cdy_s[:], cdz_s[:]),
+                (ctr_s[:], ctg_s[:], ctb_s[:]),
+                (ctr, ctg, ctb),
+            ))
+            for ref, ct in zip(attr_outs, ct_a9):
+                ref[kl] = jnp.where(hit, ct, 0.0)
+            # Sky cotangent partials (same lerp weights as pallas_grad).
+            miss_f = jnp.where(alive & ~hit, 1.0, 0.0)
+            s01 = 0.5 * (d3[1] + 1.0)
+            w_lo = miss_f * (1.0 - s01)
+            w_hi = miss_f * s01
+            ctrad = (ctr, ctg, ctb)
+            for c in range(3):
+                sky_accs[c][:] = sky_accs[c][:] + ctrad[c] * tp3[c] * w_lo
+                sky_accs[3 + c][:] = sky_accs[3 + c][:] + ctrad[c] * tp3[c] * w_hi
+            # Chain boundary: a regenerated lane's chain STARTED here; its
+            # camera-ray entry is detached, and the PREVIOUS iteration (in
+            # forward order) belongs to the prior chain whose final state
+            # has no consumers — zero the carried cotangents there.
+            rg = regen_r[kl] > 0.0
+            keep = jnp.where(rg, 0.0, 1.0)
+            cox_s[:] = ct_o[0] * keep
+            coy_s[:] = ct_o[1] * keep
+            coz_s[:] = ct_o[2] * keep
+            cdx_s[:] = ct_d[0] * keep
+            cdy_s[:] = ct_d[1] * keep
+            cdz_s[:] = ct_d[2] * keep
+            ctr_s[:] = ct_tp[0] * keep
+            ctg_s[:] = ct_tp[1] * keep
+            ctb_s[:] = ct_tp[2] * keep
+
+        def skip_iter():
+            # Unexecuted / all-dead iteration: identity on the carries; the
+            # bucket kernel needs zero attr cotangents here (idx is -1, but
+            # an uninitialized NaN would poison the one-hot dot).
+            zero = jnp.zeros(shape, f32)
+            for ref in attr_outs:
+                ref[kl] = zero
+
+        jax.lax.cond(jnp.any(alive), do_iter, skip_iter)
+        return 0
+
+    jax.lax.fori_loop(0, _CHUNK, body, 0)
+
+
+def _bank_layout(p, n_banks):
+    """(n_banks actual, n_lanes, padded lanes, rows) for P pixels."""
+    n_banks = int(min(n_banks, max(1, p // _BLOCK)))
+    n_lanes = -(-p // n_banks)
+    lanes_pad = -(-n_lanes // _BLOCK) * _BLOCK
+    return n_banks, n_lanes, lanes_pad, lanes_pad // _LANE
+
+
+def _bank_pixels(pixel_ids, width, n_banks, n_lanes, lanes_pad, rows):
+    pix_all = jnp.asarray(pixel_ids).astype(jnp.uint32)
+    p = pix_all.shape[0]
+    pos = (
+        jnp.arange(n_banks, dtype=jnp.int32)[:, None] * n_lanes
+        + jnp.arange(lanes_pad, dtype=jnp.int32)[None, :]
+    )
+    # Overflow positions re-trace pixel p-1; their radiance is sliced away
+    # and their radiance COTANGENT arrives as exactly zero (the unbanking
+    # slice's transpose zero-fills), so their chains contribute nothing.
+    pos = jnp.minimum(pos, p - 1)
+    pix = pix_all[pos]
+    xf = (pix % jnp.uint32(width)).astype(jnp.float32)
+    yf = (pix // jnp.uint32(width)).astype(jnp.float32)
+    return (
+        pix.reshape(n_banks, rows, _LANE),
+        xf.reshape(n_banks, rows, _LANE),
+        yf.reshape(n_banks, rows, _LANE),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _regen_trace(pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg, interpret):
+    out, _ = _regen_fwd_impl(
+        pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg, interpret
+    )
+    return out
+
+
+def _regen_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg, interpret):
+    (n_banks, n_samples, max_depth, width, height, t_min, t_max,
+     rr_start_depth) = static_cfg
+    rows = pix.shape[1]
+    n_blocks = rows // _SUB
+    tables = pad_scene_tables(tables)
+    s_pad = tables[0].shape[0]
+    budget = n_banks * n_samples * max_depth
+    n_chunks = -(-budget // _CHUNK)
+    b_total = n_chunks * _CHUNK
+
+    kernel = functools.partial(
+        _regen_fwd_kernel,
+        n_spheres=s_pad, n_banks=n_banks, n_samples=n_samples,
+        max_depth=max_depth, width=width, height=height,
+        t_min=t_min, t_max=t_max, rr_start_depth=rr_start_depth,
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    bank_in = pl.BlockSpec(
+        (n_banks, _SUB, _LANE), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    tile_in = pl.BlockSpec((_SUB, _LANE), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    bank_out = bank_in
+    res_out = pl.BlockSpec(
+        (_CHUNK, _SUB, _LANE), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
+    )
+    vma = vma_union(pix, soff, meta2, *tables, sky6)
+    bank_sds = jax.ShapeDtypeStruct((n_banks, rows, _LANE), jnp.float32, vma=vma)
+    f32res = jax.ShapeDtypeStruct((b_total, rows, _LANE), jnp.float32, vma=vma)
+    i32res = jax.ShapeDtypeStruct((b_total, rows, _LANE), jnp.int32, vma=vma)
+    res_dtypes = [f32res] * 11 + [i32res] * 5 + [f32res] * 9
+    scratch = [pltpu.VMEM((_SUB, _LANE), jnp.uint32)] * 3 + [
+        pltpu.VMEM((_SUB, _LANE), jnp.float32)
+    ] * 13
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_blocks, n_chunks),
+        in_specs=[smem] * 14 + [bank_in] * 3 + [tile_in],
+        out_specs=tuple([bank_out] * 3 + [res_out] * _N_RES),
+        out_shape=tuple([bank_sds] * 3 + res_dtypes),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=35 * rows * _LANE * s_pad * max(1, budget // max_depth),
+            bytes_accessed=4 * rows * _LANE * b_total * _N_RES,
+            transcendentals=16 * rows * _LANE * budget,
+        ),
+        interpret=interpret,
+    )(
+        *tables, sky6, cam19, meta2,
+        pix.astype(jnp.uint32), xf, yf,
+        jnp.broadcast_to(jnp.asarray(soff, jnp.uint32), (rows, _LANE)),
+    )
+    out3 = tuple(outs[:3])
+    residuals = tuple(outs[3:])
+    return out3, (residuals, pix, soff, meta2, sky6)
+
+
+def _regen_fwd_rule(pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg, interpret):
+    out3, res = _regen_fwd_impl(
+        pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg, interpret
+    )
+    return out3, (res, (xf, yf, cam19), tables[0].shape[0])
+
+
+def _regen_bwd_rule(static_cfg, interpret, resaux, ct):
+    from .pallas_bucket import bucket_cols_pallas
+
+    (residuals, pix, soff, meta2, sky6), (xf, yf, cam19), s_real = resaux
+    (n_banks, n_samples, max_depth, width, height, t_min, t_max,
+     rr_start_depth) = static_cfg
+    ctr, ctg, ctb = ct
+    rows = pix.shape[1]
+    n_blocks = rows // _SUB
+    b_total = residuals[0].shape[0]
+    n_chunks = b_total // _CHUNK
+    s_pad = -(-s_real // 16) * 16
+
+    kernel = functools.partial(
+        _regen_bwd_kernel,
+        n_banks=n_banks, max_depth=max_depth, t_min=t_min, t_max=t_max,
+        rr_start_depth=rr_start_depth,
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # Chunks walked in REVERSE: grid step j reads residual chunk
+    # n_chunks-1-j; within a chunk the kernel iterates local rows backward.
+    res_in = pl.BlockSpec(
+        (_CHUNK, _SUB, _LANE),
+        lambda i, j, n=n_chunks: (n - 1 - j, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    bank_in = pl.BlockSpec(
+        (n_banks, _SUB, _LANE), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    tile_in = pl.BlockSpec((_SUB, _LANE), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    res_out = pl.BlockSpec(
+        (_CHUNK, _SUB, _LANE),
+        lambda i, j, n=n_chunks: (n - 1 - j, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    pinned = pl.BlockSpec(
+        (_SUB, _LANE), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+    )
+    vma = vma_union(ctr, pix, soff, meta2, sky6, *residuals)
+    f32res = jax.ShapeDtypeStruct((b_total, rows, _LANE), jnp.float32, vma=vma)
+    sky_sds = jax.ShapeDtypeStruct((_SUB, _LANE), jnp.float32, vma=vma)
+    scratch = [pltpu.VMEM((_SUB, _LANE), jnp.float32)] * 9
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_blocks, n_chunks),
+        in_specs=[smem] * 2 + [res_in] * _N_RES + [bank_in, tile_in]
+        + [bank_in] * 3,
+        out_specs=tuple([res_out] * 9 + [pinned] * 6),
+        out_shape=tuple([f32res] * 9 + [sky_sds] * 6),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=400 * rows * _LANE * b_total,
+            bytes_accessed=4 * rows * _LANE * b_total * (_N_RES + 9),
+            transcendentals=16 * rows * _LANE * b_total,
+        ),
+        interpret=interpret,
+    )(
+        sky6, meta2, *residuals,
+        pix.astype(jnp.uint32),
+        jnp.broadcast_to(jnp.asarray(soff, jnp.uint32), (rows, _LANE)),
+        ctr, ctg, ctb,
+    )
+    attr_cts = outs[:9]
+    sky_parts = outs[9:]
+    idx = residuals[14]
+    # Bucket ALL iterations' attribute cotangents in one pass (dead and
+    # unexecuted iterations carry idx == -1 and exact-zero cotangents).
+    flat = lambda a: a.reshape(b_total * rows, _LANE)  # noqa: E731
+    d_tab = bucket_cols_pallas(
+        tuple(flat(a) for a in attr_cts), flat(idx), s_pad, interpret=interpret
+    )
+    d_tab = d_tab[:s_real]
+    d_sky6 = jnp.stack([jnp.sum(a) for a in sky_parts])
+
+    def f0(x):
+        return np.zeros(x.shape, jax.dtypes.float0)
+
+    d_tables = (
+        d_tab[:, 0], d_tab[:, 1], d_tab[:, 2], d_tab[:, 3],
+        d_tab[:, 3] * 0.0,                        # r2 (scan-only, detached)
+        d_tab[:, 4], d_tab[:, 5], d_tab[:, 6],
+        np.zeros((s_real,), jax.dtypes.float0),   # material (int)
+        d_tab[:, 7], d_tab[:, 8],
+    )
+    return (
+        f0(pix),                        # pix (u32)
+        jnp.zeros_like(xf),             # xf (detached camera geometry)
+        jnp.zeros_like(yf),             # yf
+        f0(jnp.asarray(soff, jnp.uint32)),
+        f0(meta2),
+        jnp.zeros_like(cam19),          # camera constants (not a diff leaf)
+        d_tables, d_sky6,
+    )
+
+
+_regen_trace.defvjp(_regen_fwd_rule, _regen_bwd_rule)
+
+
+def render_block_grad_regen(
+    scene, camera, config, key, pixel_ids, sample_offset, n_samples,
+    n_banks=None,
+):
+    """Differentiable per-pixel radiance SUM over ``n_samples`` via the
+    regeneration kernels.  Drop-in for render_pixel_block's chunk step on
+    the gradient path (same (pixel, sample) keying, ascending-sample
+    accumulation order, same gradient semantics as the per-bounce fused
+    path — equivalence-tested in tests/test_pallas_grad_regen.py).
+    Returns [P, 3] f32 radiance sums."""
+    from ..render import _persistent_args
+
+    p = pixel_ids.shape[0]
+    if n_banks is None:
+        n_banks = DEFAULT_BANKS
+    n_banks, n_lanes, lanes_pad, rows = _bank_layout(p, n_banks)
+    pix, xf, yf = _bank_pixels(
+        pixel_ids, config.width, n_banks, n_lanes, lanes_pad, rows
+    )
+    tables, sky6, cam19, kd = _persistent_args(scene, camera, config, key)
+    # The camera is not a differentiable leaf on this path (matching
+    # trace_pixels_fused); its constants enter as a detached traced array.
+    cam19 = jax.lax.stop_gradient(cam19)
+    # Keep radii differentiable but the scan-only r2 slot detached, exactly
+    # like the per-bounce fused path (_fused_radiance_tiles).
+    tables = tuple(
+        jax.lax.stop_gradient(t) if i == 4 else t for i, t in enumerate(tables)
+    )
+    meta2 = jnp.asarray(kd, jnp.uint32).reshape(2)
+    static_cfg = (
+        n_banks, int(n_samples), int(config.max_depth),
+        int(config.width), int(config.height),
+        float(config.t_min), float(config.t_max),
+        int(config.rr_start_depth),
+    )
+    out_r, out_g, out_b = _regen_trace(
+        pix, xf, yf, jnp.asarray(sample_offset, jnp.uint32), meta2, cam19,
+        tables, sky6, static_cfg, bool(config.pallas_interpret),
+    )
+
+    def unbank(o):
+        return o.reshape(n_banks, lanes_pad)[:, :n_lanes].reshape(-1)[:p]
+
+    return jnp.stack([unbank(out_r), unbank(out_g), unbank(out_b)], axis=-1)

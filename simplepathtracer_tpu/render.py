@@ -496,8 +496,14 @@ def render_pixel_block(scene, camera, config, key, pixel_ids, sample_offset, n_s
             scene, camera, config, key, pixel_ids, sample_offset, n_samples
         )
 
+    use_regen = (
+        config.use_pallas_grad
+        and config.grad_regen
+        and config.silhouette_softness == 0.0
+        and scene.plane is None
+    )
     unperm = lambda rad: rad  # noqa: E731
-    if config.use_pallas_grad:
+    if config.use_pallas_grad and not use_regen:
         pixel_ids, unperm = _coherent_pixel_order(pixel_ids, config)
 
     p = pixel_ids.shape[0]
@@ -512,6 +518,16 @@ def render_pixel_block(scene, camera, config, key, pixel_ids, sample_offset, n_s
 
     def step(acc, i):
         off = sample_offset + i * chunk
+        if use_regen:
+            # Regeneration kernels consume (pixel block, sample range)
+            # directly and return per-pixel sums — no [chunk * p] ray
+            # batch is ever materialized.
+            from .ops.pallas_grad_regen import render_block_grad_regen
+
+            batch = render_block_grad_regen(
+                scene, camera, config, key, pixel_ids, off, chunk
+            )
+            return acc + batch, None
         pids = jnp.tile(pixel_ids, (chunk,))
         sids = jnp.repeat(off + jnp.arange(chunk, dtype=jnp.int32), p)
         rad = render_pixels(scene, camera, config, key, pids, sids)

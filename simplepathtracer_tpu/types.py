@@ -164,6 +164,14 @@ class RenderConfig:
     # gradient semantics identical to the jnp bounce.  Takes precedence
     # over use_pallas_hits (use_pallas still wins for forward-only runs).
     use_pallas_grad: bool = False
+    # Regeneration-based fused gradient kernels (ops/pallas_grad_regen.py):
+    # the persistent-kernel utilization fix applied to the differentiable
+    # path — dead lanes immediately start their pixel's next sample, so
+    # fwd+bwd work tracks the ~2.7-bounce mean path instead of sweeping
+    # every block max_depth times.  Requires use_pallas_grad; falls back to
+    # the per-bounce fused kernels for explicit-ray entry points
+    # (silhouette blend) and plane scenes.
+    grad_regen: bool = False
     pallas_interpret: bool = False  # run the kernels interpreted (CPU tests)
     # Soft-silhouette blend width for the first bounce (0 = hard edges).
     # Used by inverse rendering to recover geometry gradients at visibility

@@ -1,0 +1,140 @@
+"""Regeneration-based fused gradient path (ops/pallas_grad_regen.py) vs the
+jnp reference bounce — values AND gradients, in Pallas interpret mode.
+
+The regen kernels share bounce_tile/closest_hit_scan with the per-bounce
+fused path and the same threefry streams keyed by global (pixel, sample)
+ids, so radiance and gradients must match the jnp path to fp tolerance for
+every configuration: multi-bank/multi-block layouts, ragged pixel counts
+(padding lanes), Russian roulette, spp chunking, and the sharded trainer.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import simplepathtracer_tpu as spt
+from simplepathtracer_tpu import inverse
+
+
+def _setup(width=16, height=8, spp=4, depth=4, **cfg_kw):
+    scene = spt.three_sphere_scene(hollow_glass=False)
+    cam = spt.make_camera(origin=(0, 0, -1), lookat=(0, 0, 1), vfov_deg=60)
+    cfg = spt.RenderConfig(width=width, height=height, spp=spp,
+                           max_depth=depth, **cfg_kw)
+    key = jax.random.PRNGKey(2)
+    return scene, cam, cfg, key
+
+
+def _regen(cfg):
+    return cfg.replace(use_pallas_grad=True, grad_regen=True,
+                       pallas_interpret=True)
+
+
+def _assert_images_close(a, b, tol=2e-6):
+    d = np.abs(np.asarray(a) - np.asarray(b))
+    assert d.mean() < tol and d.max() < 1e-3, (d.mean(), d.max())
+
+
+def test_regen_forward_matches_jnp():
+    scene, cam, cfg, key = _setup()
+    img_j = inverse.render_linear(scene, cam, cfg, key)
+    img_r = inverse.render_linear(scene, cam, _regen(cfg), key)
+    _assert_images_close(img_j, img_r)
+
+
+def test_regen_forward_multiblock_multibank():
+    # 64x40 = 2560 pixels -> 2 banks, padded lanes (1280 -> 2048): exercises
+    # bank selection, block padding, AND the overflow-position duplicates.
+    scene, cam, cfg, key = _setup(width=64, height=40, spp=2, depth=5)
+    img_j = inverse.render_linear(scene, cam, cfg, key)
+    img_r = inverse.render_linear(scene, cam, _regen(cfg), key)
+    _assert_images_close(img_j, img_r)
+
+
+def test_regen_forward_russian_roulette():
+    scene, cam, cfg, key = _setup(spp=4, depth=6, rr_start_depth=2)
+    img_j = inverse.render_linear(scene, cam, cfg, key)
+    img_r = inverse.render_linear(scene, cam, _regen(cfg), key)
+    _assert_images_close(img_j, img_r)
+
+
+def _grads(scene, cam, cfg, key, target):
+    params, static_scene = inverse.split_params(scene)
+    return jax.value_and_grad(inverse.pixel_loss)(
+        params, static_scene, target, cam, cfg, key
+    )
+
+
+@pytest.mark.parametrize("rr", [0, 2])
+def test_regen_gradients_match_jnp(rr):
+    scene, cam, cfg, key = _setup(depth=4, rr_start_depth=rr)
+    target = jnp.full((cfg.height, cfg.width, 3), 0.25, jnp.float32)
+    l_j, g_j = _grads(scene, cam, cfg, key, target)
+    l_r, g_r = _grads(scene, cam, _regen(cfg), key, target)
+    np.testing.assert_allclose(float(l_j), float(l_r), rtol=1e-6)
+    for k in g_j:
+        a, b = np.asarray(g_j[k]), np.asarray(g_r[k])
+        np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-6, err_msg=k)
+
+
+def test_regen_gradients_multichunk_spp():
+    """spp chunking (the remat path) around the regen kernels: spp=6 with
+    spp_chunk=2 -> 3 rematerialized chunks, each a regen kernel call."""
+    scene, cam, cfg, key = _setup(spp=6, depth=4, spp_chunk=2)
+    target = jnp.full((cfg.height, cfg.width, 3), 0.25, jnp.float32)
+    l_j, g_j = _grads(scene, cam, cfg, key, target)
+    l_r, g_r = _grads(scene, cam, _regen(cfg), key, target)
+    np.testing.assert_allclose(float(l_j), float(l_r), rtol=1e-6)
+    for k in g_j:
+        a, b = np.asarray(g_j[k]), np.asarray(g_r[k])
+        np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-6, err_msg=k)
+
+
+def test_regen_matches_perbounce_fused():
+    """The two fused implementations (per-bounce sweep vs regeneration)
+    share tile physics and must agree with each other tightly."""
+    scene, cam, cfg, key = _setup(width=32, height=16, spp=3, depth=5)
+    target = jnp.full((cfg.height, cfg.width, 3), 0.3, jnp.float32)
+    cfg_pb = cfg.replace(use_pallas_grad=True, pallas_interpret=True)
+    l_p, g_p = _grads(scene, cam, cfg_pb, key, target)
+    l_r, g_r = _grads(scene, cam, _regen(cfg), key, target)
+    np.testing.assert_allclose(float(l_p), float(l_r), rtol=1e-6)
+    for k in g_p:
+        a, b = np.asarray(g_p[k]), np.asarray(g_r[k])
+        np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-6, err_msg=k)
+
+
+def test_regen_sharded_train_step():
+    """grad_regen inside shard_map: the sharded loss/grads must equal the
+    single-device jnp values (mesh cannot change the math)."""
+    from simplepathtracer_tpu.parallel import make_mesh
+    from simplepathtracer_tpu.parallel.sharding import loss_and_grad_sharded
+
+    scene, cam, cfg, key = _setup(width=32, height=16, spp=4, depth=4)
+    target = jnp.full((cfg.height, cfg.width, 3), 0.25, jnp.float32)
+    mesh = make_mesh(tiles=2, samples=2, devices=jax.devices()[:4])
+    cfg_r = _regen(cfg)
+    loss_s, grads_s = jax.jit(
+        lambda s, t, c, k: loss_and_grad_sharded(s, t, c, cfg_r, k, mesh)
+    )(scene, target, cam, key)
+    params, static_scene = inverse.split_params(scene)
+    loss_j, grads_j = jax.value_and_grad(inverse.pixel_loss)(
+        params, static_scene, target, cam, cfg, key
+    )
+    np.testing.assert_allclose(float(loss_s), float(loss_j), rtol=1e-5)
+    for k in grads_j:
+        a, b = np.asarray(grads_j[k]), np.asarray(grads_s[k])
+        np.testing.assert_allclose(b, a, rtol=5e-3, atol=5e-6, err_msg=k)
+
+
+def test_regen_fit_recovers_albedo():
+    """End-to-end: an inverse fit through the regen path still optimizes."""
+    scene, cam, cfg, key = _setup(width=24, height=12, spp=4, depth=3)
+    target = inverse.render_linear(scene, cam, cfg, jax.random.fold_in(key, 9))
+    perturbed = scene.replace(albedo=jnp.clip(scene.albedo + 0.25, 0.05, 0.95))
+    recovered, losses = inverse.fit(
+        perturbed, target, cam, _regen(cfg), key, steps=12, lr=5e-2,
+        leaves=("albedo",),
+    )
+    assert losses[-1] < losses[0] * 0.7, losses[::4]
