@@ -54,3 +54,18 @@ def test_invert_smoke(tmp_path):
         "--spp", "2", "-q", "-o", str(tmp_path / "rec.png"),
     ])
     assert rc == 0
+
+
+def test_invert_preset_smoke(tmp_path):
+    """Preset-scale invert mode: perturbed-albedo fit on a named preset
+    with a before|target|after artifact (VERDICT r2 weak #6)."""
+    out = str(tmp_path / "trip.png")
+    rc = main([
+        "invert", "--preset", "three_sphere", "--steps", "3",
+        "--width", "32", "--height", "16", "--spp", "2", "--max-depth", "3",
+        "-q", "-o", out,
+    ])
+    assert rc == 0
+    import os
+
+    assert os.path.exists(out)
