@@ -16,6 +16,7 @@ ops/intersect.py and ops/materials.py for the detach points.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -203,6 +204,77 @@ def fit(
         )
     for i in range(start, steps):
         params, opt_state, loss = step_fn(params, opt_state, jax.random.fold_in(key, i))
+        losses.append(float(loss))
+        if callback is not None:
+            callback(i, losses[-1], params)
+        if snapshot_path and snapshot_every and (i + 1) % snapshot_every == 0:
+            _save_fit_state(snapshot_path, params, opt_state, i + 1, losses)
+    return merge_params(params, static_scene), losses
+
+
+def fit_sharded(
+    scene_init: Scene,
+    target,
+    camera: Camera,
+    config: RenderConfig,
+    key,
+    mesh,
+    steps: int = 100,
+    lr: float = 1e-2,
+    leaves=DIFF_LEAVES,
+    callback=None,
+    param_mask=None,
+    snapshot_path=None,
+    snapshot_every: int = 0,
+):
+    """Multi-chip Adam fit: the distributed training loop of this framework.
+
+    Each step runs ``parallel.sharding.loss_and_grad_sharded`` — sharded
+    forward render over the ('tiles', 'samples') mesh, sharded backward
+    bounce, psum gradient all-reduce — then a replicated Adam update.
+    Because loss/grads are replicated outputs, every process holds
+    identical optimizer state, so multi-host fits need no extra
+    synchronization; snapshots use the same fit-state format as ``fit``
+    (on a pod, write from process 0 or to per-process paths).
+
+    Reference counterpart: none (the reference has no training loop); this
+    is BASELINE.json config 4 scaled to the mesh.
+    """
+    import os
+
+    from .parallel.sharding import loss_and_grad_sharded
+
+    opt = make_optimizer(lr)
+    params, static_scene = split_params(scene_init, leaves)
+    opt_state = opt.init(params)
+    config = grad_safe_config(config)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def step_fn(params, opt_state, step_key):
+        scene = merge_params(params, static_scene)
+        loss, grads = loss_and_grad_sharded(
+            scene, target, camera, config, step_key, mesh
+        )
+        grads = {k: grads[k] for k in params}
+        if param_mask is not None:
+            grads = {
+                k: g * param_mask[k] if k in param_mask else g
+                for k, g in grads.items()
+            }
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    losses = []
+    start = 0
+    if snapshot_path and os.path.exists(snapshot_path):
+        params, opt_state, start, losses = _load_fit_state(
+            snapshot_path, params, opt_state
+        )
+    for i in range(start, steps):
+        params, opt_state, loss = step_fn(
+            params, opt_state, jax.random.fold_in(key, i)
+        )
         losses.append(float(loss))
         if callback is not None:
             callback(i, losses[-1], params)
