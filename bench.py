@@ -134,7 +134,7 @@ def _bench_forward(accumulate, init_state, scene, camera, config, key, spp):
     return dt, compile_s
 
 
-def _bench_grad(scene, camera, config, key, spp, spp_chunk, reps=2):
+def _bench_grad(scene, camera, config, key, spp, spp_chunk, reps=2, regen=False):
     """Steady-state seconds for one jitted value_and_grad of the pixel MSE."""
     import jax
     import jax.numpy as jnp
@@ -144,10 +144,11 @@ def _bench_grad(scene, camera, config, key, spp, spp_chunk, reps=2):
 
     # spp_chunk=spp benches one unchunked dispatch; spp_chunk=0 lets
     # grad_safe_config pick the rematerialization chunking (the
-    # memory-bounded variant the CLI fit actually runs).
+    # memory-bounded variant the CLI fit actually runs).  regen=True
+    # selects the regeneration gradient kernels (ops/pallas_grad_regen.py).
     gcfg = grad_safe_config(
         config.replace(spp=spp, spp_chunk=spp_chunk)
-    ).replace(rr_start_depth=0)
+    ).replace(rr_start_depth=0, grad_regen=regen)
     params, static_scene = inverse.split_params(scene)
     target = jnp.zeros((gcfg.height, gcfg.width, 3), jnp.float32)
     vg = jax.jit(jax.value_and_grad(inverse.pixel_loss), static_argnames=("config",))
@@ -334,6 +335,21 @@ def main():
         emit(result, partial_only=True)
     except Exception as e:
         errors.append(f"fwd_bwd: {e!r}")
+
+    # --- fwd+bwd, regeneration kernels (same dispatch shape) ----------------
+    try:
+        rg_dt, rg_compile = _bench_grad(
+            scene, camera, config, key, GRAD_SPP, spp_chunk=GRAD_SPP, regen=True
+        )
+        rg_pps = WIDTH * HEIGHT * GRAD_SPP / rg_dt
+        metrics.append({
+            "name": "fwd_bwd_regen_paths_per_sec", "value": round(rg_pps, 1),
+            "vs_baseline": vs(rg_pps), "elapsed_s": round(rg_dt, 3),
+            "compile_plus_first_s": round(rg_compile, 1), "spp": GRAD_SPP,
+        })
+        emit(result, partial_only=True)
+    except Exception as e:
+        errors.append(f"fwd_bwd_regen: {e!r}")
 
     # --- fwd+bwd sustained at the 100-spp preset (remat-chunked) ------------
     try:
