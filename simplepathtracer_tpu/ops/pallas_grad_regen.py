@@ -104,6 +104,7 @@ def _regen_fwd_kernel(
     # kb, s, b (u32), alive, o3, d3, tp3, acc3 (f32)) — both arrive
     # positionally, so they share *rest and are sliced below.
     out_r, out_g, out_b,          # (n_banks, 8, 128), pinned across chunks
+    out_n,                        # (8, 128) per-lane live iterations (diag)
     *rest,
     n_spheres: int, n_banks: int, n_samples: int, max_depth: int,
     width: int, height: int, t_min: float, t_max: float,
@@ -130,6 +131,7 @@ def _regen_fwd_kernel(
             out_r[k] = zero
             out_g[k] = zero
             out_b[k] = zero
+        out_n[:] = zero
         kb_s[:] = jnp.zeros(shape, jnp.uint32)
         s_s[:] = jnp.zeros(shape, jnp.uint32)
         b_s[:] = jnp.zeros(shape, jnp.uint32)
@@ -185,6 +187,7 @@ def _regen_fwd_kernel(
             tb = jnp.where(regen, 1.0, tb_s[:])
             b = jnp.where(regen, jnp.uint32(0), b)
             alive = alive | regen
+            out_n[:] = out_n[:] + jnp.where(alive, 1.0, 0.0)
             # npix is already the CURRENT bank's pixel for every lane (kb
             # was advanced at the previous flush), regen or not.
             pix = npix
@@ -461,11 +464,15 @@ def _regen_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg, i
     )
     tile_in = pl.BlockSpec((_SUB, _LANE), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
     bank_out = bank_in
+    lane_out = pl.BlockSpec(
+        (_SUB, _LANE), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+    )
     res_out = pl.BlockSpec(
         (_CHUNK, _SUB, _LANE), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
     )
     vma = vma_union(pix, soff, meta2, *tables, sky6)
     bank_sds = jax.ShapeDtypeStruct((n_banks, rows, _LANE), jnp.float32, vma=vma)
+    lane_sds = jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma)
     f32res = jax.ShapeDtypeStruct((b_total, rows, _LANE), jnp.float32, vma=vma)
     i32res = jax.ShapeDtypeStruct((b_total, rows, _LANE), jnp.int32, vma=vma)
     res_dtypes = [f32res] * 11 + [i32res] * 5 + [f32res] * 9
@@ -477,8 +484,8 @@ def _regen_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg, i
         kernel,
         grid=(n_blocks, n_chunks),
         in_specs=[smem] * 14 + [bank_in] * 3 + [tile_in],
-        out_specs=tuple([bank_out] * 3 + [res_out] * _N_RES),
-        out_shape=tuple([bank_sds] * 3 + res_dtypes),
+        out_specs=tuple([bank_out] * 3 + [lane_out] + [res_out] * _N_RES),
+        out_shape=tuple([bank_sds] * 3 + [lane_sds] + res_dtypes),
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=35 * rows * _LANE * s_pad * max(1, budget // max_depth),
@@ -491,9 +498,9 @@ def _regen_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg, i
         pix.astype(jnp.uint32), xf, yf,
         jnp.broadcast_to(jnp.asarray(soff, jnp.uint32), (rows, _LANE)),
     )
-    out3 = tuple(outs[:3])
-    residuals = tuple(outs[3:])
-    return out3, (residuals, pix, soff, meta2, sky6)
+    out4 = tuple(outs[:4])      # radiance banks + per-lane iteration counts
+    residuals = tuple(outs[4:])
+    return out4, (residuals, pix, soff, meta2, sky6)
 
 
 def _regen_fwd_rule(pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg, interpret):
@@ -509,7 +516,7 @@ def _regen_bwd_rule(static_cfg, interpret, resaux, ct):
     (residuals, pix, soff, meta2, sky6), (xf, yf, cam19), s_real = resaux
     (n_banks, n_samples, max_depth, width, height, t_min, t_max,
      rr_start_depth) = static_cfg
-    ctr, ctg, ctb = ct
+    ctr, ctg, ctb, _ct_n = ct   # iteration counts carry no gradient
     rows = pix.shape[1]
     n_blocks = rows // _SUB
     b_total = residuals[0].shape[0]
@@ -604,7 +611,7 @@ _regen_trace.defvjp(_regen_fwd_rule, _regen_bwd_rule)
 
 def render_block_grad_regen(
     scene, camera, config, key, pixel_ids, sample_offset, n_samples,
-    n_banks=None,
+    n_banks=None, return_counts=False,
 ):
     """Differentiable per-pixel radiance SUM over ``n_samples`` via the
     regeneration kernels.  Drop-in for render_pixel_block's chunk step on
@@ -637,7 +644,7 @@ def render_block_grad_regen(
         float(config.t_min), float(config.t_max),
         int(config.rr_start_depth),
     )
-    out_r, out_g, out_b = _regen_trace(
+    out_r, out_g, out_b, out_n = _regen_trace(
         pix, xf, yf, jnp.asarray(sample_offset, jnp.uint32), meta2, cam19,
         tables, sky6, static_cfg, bool(config.pallas_interpret),
     )
@@ -645,4 +652,10 @@ def render_block_grad_regen(
     def unbank(o):
         return o.reshape(n_banks, lanes_pad)[:, :n_lanes].reshape(-1)[:p]
 
-    return jnp.stack([unbank(out_r), unbank(out_g), unbank(out_b)], axis=-1)
+    img = jnp.stack([unbank(out_r), unbank(out_g), unbank(out_b)], axis=-1)
+    if return_counts:
+        # Per-LANE live-iteration totals (diagnostic: block max / mean is
+        # the straggler factor; jnp.sum/1024-blocks is the utilization
+        # numerator).  Shaped [lanes_pad] — lanes, not pixels.
+        return img, out_n.reshape(-1)
+    return img

@@ -138,3 +138,23 @@ def test_regen_fit_recovers_albedo():
         leaves=("albedo",),
     )
     assert losses[-1] < losses[0] * 0.7, losses[::4]
+
+
+def test_regen_iteration_counts():
+    """Per-lane live-iteration diagnostics: total live iterations must be
+    bounded by chains * max_depth and at least chains (every chain runs at
+    least one bounce)."""
+    from simplepathtracer_tpu.ops.pallas_grad_regen import render_block_grad_regen
+
+    scene, cam, cfg, key = _setup(width=64, height=32, spp=2, depth=5)
+    pids = jnp.arange(cfg.num_pixels, dtype=jnp.int32)
+    img, counts = render_block_grad_regen(
+        scene, cam, _regen(cfg), key, pids, 0, cfg.spp, return_counts=True
+    )
+    total = float(jnp.sum(counts))
+    chains = cfg.num_pixels * cfg.spp
+    assert chains <= total <= chains * cfg.max_depth, (total, chains)
+    # Straggler factor over blocks must be finite and sane.
+    blocks = counts.reshape(-1, 1024)
+    ratio = float(jnp.max(jnp.max(blocks, 1) / jnp.mean(blocks, 1)))
+    assert 1.0 <= ratio < 3.0, ratio
