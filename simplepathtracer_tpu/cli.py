@@ -119,8 +119,16 @@ def _invert_preset(args) -> int:
         config = config.replace(grad_regen=True)
     key = jax.random.PRNGKey(args.seed)
     gcfg = grad_safe_config(config)
+    # Artifact/target renders are forward-only: strip the gradient kernels
+    # (their custom-vjp primal emits full residual planes — GBs of HBM
+    # traffic no one consumes) and keep the preset's forward fast path on
+    # TPU; on CPU grad_safe_config already picked the plain jnp bounce.
+    rcfg = (
+        config if jax.default_backend() == "tpu"
+        else gcfg.replace(grad_regen=False, use_pallas_grad=False)
+    )
 
-    target = inverse.render_linear(truth, camera, gcfg, jax.random.fold_in(key, 999))
+    target = inverse.render_linear(truth, camera, rcfg, jax.random.fold_in(key, 999))
     # Perturb every non-ground albedo (the ground = the largest |radius|).
     import numpy as np_
 
@@ -129,7 +137,7 @@ def _invert_preset(args) -> int:
     perturbed = truth.replace(albedo=jnp.clip(truth.albedo + delta, 0.03, 0.97))
     mask = {"albedo": jnp.ones_like(truth.albedo).at[ground].set(0.0)}
     err0 = float(jnp.abs(perturbed.albedo - truth.albedo).max())
-    before = inverse.render_linear(perturbed, camera, gcfg, key)
+    before = inverse.render_linear(perturbed, camera, rcfg, key)
 
     def cb(i, loss, params):
         if i % 5 == 0:
@@ -144,7 +152,7 @@ def _invert_preset(args) -> int:
         leaves=("albedo",), param_mask=mask, callback=cb, **snap_kw,
     )
     err1 = float(jnp.abs(recovered.albedo - truth.albedo).max())
-    after = inverse.render_linear(recovered, camera, gcfg, key)
+    after = inverse.render_linear(recovered, camera, rcfg, key)
     meter.emit({
         "phase": "invert_done", "preset": args.preset,
         "loss_first": losses[0], "loss_last": losses[-1],
@@ -173,7 +181,9 @@ def cmd_invert(args) -> int:
     meter = metrics.Meter(enabled=not args.quiet)
     camera = make_camera(origin=(0, 0, -1), lookat=(0, 0, 1), vfov_deg=60)
     config = RenderConfig(width=args.width or 96, height=args.height or 48,
-                          spp=args.spp or 16, max_depth=6)
+                          spp=args.spp or 16, max_depth=args.max_depth or 6)
+    if getattr(args, "grad_regen", False):
+        config = config.replace(use_pallas_grad=True, grad_regen=True)
     key = jax.random.PRNGKey(args.seed)
 
     # Ground truth scene -> target image; perturbed scene -> recover.

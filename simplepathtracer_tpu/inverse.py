@@ -212,7 +212,7 @@ def fit(
     return merge_params(params, static_scene), losses
 
 
-def fit_sharded(
+def fit_sharded(  # noqa: C901
     scene_init: Scene,
     target,
     camera: Camera,
@@ -235,7 +235,10 @@ def fit_sharded(
     Because loss/grads are replicated outputs, every process holds
     identical optimizer state, so multi-host fits need no extra
     synchronization; snapshots use the same fit-state format as ``fit``
-    (on a pod, write from process 0 or to per-process paths).
+    and are written by PROCESS 0 ONLY (the state is replicated; concurrent
+    writers to one shared-storage path could collide on the temp file).
+    Every process loads the same path on resume — atomic rename means a
+    reader never sees a partial file.
 
     Reference counterpart: none (the reference has no training loop); this
     is BASELINE.json config 4 scaled to the mesh.
@@ -278,6 +281,10 @@ def fit_sharded(
         losses.append(float(loss))
         if callback is not None:
             callback(i, losses[-1], params)
-        if snapshot_path and snapshot_every and (i + 1) % snapshot_every == 0:
+        if (
+            snapshot_path and snapshot_every
+            and (i + 1) % snapshot_every == 0
+            and jax.process_index() == 0
+        ):
             _save_fit_state(snapshot_path, params, opt_state, i + 1, losses)
     return merge_params(params, static_scene), losses

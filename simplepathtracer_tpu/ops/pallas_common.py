@@ -179,6 +179,48 @@ def closest_hit_scan(
     return jax.lax.fori_loop(0, n_spheres // unroll, body, init)
 
 
+def banked_lane_layout(pixel_ids, width, n_banks):
+    """The banked pixel->lane layout shared by the persistent forward
+    kernel and the regeneration gradient kernels.
+
+    Bank k, lane l serves position k*n_lanes + l of ``pixel_ids`` (strided
+    banks: a lane's pixels are widely separated, averaging per-lane work).
+    Overflow positions clamp to the last pixel — they re-trace a real
+    pixel and are discarded by ``unbank``'s slice, whose autodiff
+    transpose zero-fills their cotangents (load-bearing for the gradient
+    kernels' duplicate-chain argument).
+
+    Returns (n_banks, n_lanes, rows, pix, xf, yf, unbank) with
+    pix/xf/yf shaped (n_banks, rows, 128) and ``unbank`` mapping a
+    (n_banks, rows, 128) output back to a [P]-vector.
+    """
+    p = pixel_ids.shape[0]
+    n_banks = int(min(n_banks, max(1, p // BLOCK)))
+    n_lanes = -(-p // n_banks)
+    lanes_pad = -(-n_lanes // BLOCK) * BLOCK
+    rows = lanes_pad // LANE
+    pix_all = jnp.asarray(pixel_ids).astype(jnp.uint32)
+    pos = (
+        jnp.arange(n_banks, dtype=jnp.int32)[:, None] * n_lanes
+        + jnp.arange(lanes_pad, dtype=jnp.int32)[None, :]
+    )
+    pos = jnp.minimum(pos, p - 1)
+    pix = pix_all[pos]                                   # [n_banks, lanes_pad]
+    xf = (pix % jnp.uint32(width)).astype(jnp.float32)
+    yf = (pix // jnp.uint32(width)).astype(jnp.float32)
+
+    def unbank(o):
+        return o.reshape(n_banks, lanes_pad)[:, :n_lanes].reshape(-1)[:p]
+
+    return (
+        n_banks, n_lanes, rows,
+        pix.reshape(n_banks, rows, LANE),
+        xf.reshape(n_banks, rows, LANE),
+        yf.reshape(n_banks, rows, LANE),
+        unbank,
+    )
+
+
 def plane_override(plane_ref, winner, ox, oy, oz, dx, dy, dz, *, t_min: float):
     """Merge an optional Lambertian ground plane into the scan winner.
 

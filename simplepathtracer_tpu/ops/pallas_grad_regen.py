@@ -57,6 +57,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_common import (
     LANE as _LANE,
     SUB as _SUB,
+    banked_lane_layout,
     camera_ray_tiles,
     closest_hit_scan,
     pad_scene_tables,
@@ -404,35 +405,6 @@ def _regen_bwd_kernel(
     jax.lax.fori_loop(0, _CHUNK, body, 0)
 
 
-def _bank_layout(p, n_banks):
-    """(n_banks actual, n_lanes, padded lanes, rows) for P pixels."""
-    n_banks = int(min(n_banks, max(1, p // _BLOCK)))
-    n_lanes = -(-p // n_banks)
-    lanes_pad = -(-n_lanes // _BLOCK) * _BLOCK
-    return n_banks, n_lanes, lanes_pad, lanes_pad // _LANE
-
-
-def _bank_pixels(pixel_ids, width, n_banks, n_lanes, lanes_pad, rows):
-    pix_all = jnp.asarray(pixel_ids).astype(jnp.uint32)
-    p = pix_all.shape[0]
-    pos = (
-        jnp.arange(n_banks, dtype=jnp.int32)[:, None] * n_lanes
-        + jnp.arange(lanes_pad, dtype=jnp.int32)[None, :]
-    )
-    # Overflow positions re-trace pixel p-1; their radiance is sliced away
-    # and their radiance COTANGENT arrives as exactly zero (the unbanking
-    # slice's transpose zero-fills), so their chains contribute nothing.
-    pos = jnp.minimum(pos, p - 1)
-    pix = pix_all[pos]
-    xf = (pix % jnp.uint32(width)).astype(jnp.float32)
-    yf = (pix // jnp.uint32(width)).astype(jnp.float32)
-    return (
-        pix.reshape(n_banks, rows, _LANE),
-        xf.reshape(n_banks, rows, _LANE),
-        yf.reshape(n_banks, rows, _LANE),
-    )
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def _regen_trace(pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg, interpret):
     out, _ = _regen_fwd_impl(
@@ -471,6 +443,16 @@ def _regen_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg, i
         (_CHUNK, _SUB, _LANE), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
     )
     vma = vma_union(pix, soff, meta2, *tables, sky6)
+
+    def to_vma(x):
+        missing = vma - getattr(jax.typeof(x), "vma", frozenset())
+        return jax.lax.pcast(x, tuple(missing), to="varying") if missing else x
+
+    soff_tile = to_vma(
+        jnp.broadcast_to(jnp.asarray(soff, jnp.uint32), (rows, _LANE))
+    )
+    if vma:
+        pix, xf, yf = (to_vma(x) for x in (pix, xf, yf))
     bank_sds = jax.ShapeDtypeStruct((n_banks, rows, _LANE), jnp.float32, vma=vma)
     lane_sds = jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma)
     f32res = jax.ShapeDtypeStruct((b_total, rows, _LANE), jnp.float32, vma=vma)
@@ -495,8 +477,7 @@ def _regen_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg, i
         interpret=interpret,
     )(
         *tables, sky6, cam19, meta2,
-        pix.astype(jnp.uint32), xf, yf,
-        jnp.broadcast_to(jnp.asarray(soff, jnp.uint32), (rows, _LANE)),
+        pix.astype(jnp.uint32), xf, yf, soff_tile,
     )
     out4 = tuple(outs[:4])      # radiance banks + per-lane iteration counts
     residuals = tuple(outs[4:])
@@ -549,6 +530,17 @@ def _regen_bwd_rule(static_cfg, interpret, resaux, ct):
         (_SUB, _LANE), lambda i, j: (0, 0), memory_space=pltpu.VMEM
     )
     vma = vma_union(ctr, pix, soff, meta2, sky6, *residuals)
+
+    def to_vma(x):
+        missing = vma - getattr(jax.typeof(x), "vma", frozenset())
+        return jax.lax.pcast(x, tuple(missing), to="varying") if missing else x
+
+    soff_tile = to_vma(
+        jnp.broadcast_to(jnp.asarray(soff, jnp.uint32), (rows, _LANE))
+    )
+    if vma:
+        pix = to_vma(pix)
+        ctr, ctg, ctb = (to_vma(x) for x in (ctr, ctg, ctb))
     f32res = jax.ShapeDtypeStruct((b_total, rows, _LANE), jnp.float32, vma=vma)
     sky_sds = jax.ShapeDtypeStruct((_SUB, _LANE), jnp.float32, vma=vma)
     scratch = [pltpu.VMEM((_SUB, _LANE), jnp.float32)] * 9
@@ -569,8 +561,7 @@ def _regen_bwd_rule(static_cfg, interpret, resaux, ct):
         interpret=interpret,
     )(
         sky6, meta2, *residuals,
-        pix.astype(jnp.uint32),
-        jnp.broadcast_to(jnp.asarray(soff, jnp.uint32), (rows, _LANE)),
+        pix.astype(jnp.uint32), soff_tile,
         ctr, ctg, ctb,
     )
     attr_cts = outs[:9]
@@ -621,12 +612,14 @@ def render_block_grad_regen(
     Returns [P, 3] f32 radiance sums."""
     from ..render import _persistent_args
 
-    p = pixel_ids.shape[0]
     if n_banks is None:
         n_banks = DEFAULT_BANKS
-    n_banks, n_lanes, lanes_pad, rows = _bank_layout(p, n_banks)
-    pix, xf, yf = _bank_pixels(
-        pixel_ids, config.width, n_banks, n_lanes, lanes_pad, rows
+    # Shared banked layout (pallas_common.banked_lane_layout): overflow
+    # positions re-trace the last pixel; their radiance is sliced away by
+    # unbank and their radiance COTANGENT arrives as exactly zero (the
+    # slice's transpose zero-fills), so duplicate chains contribute nothing.
+    n_banks, n_lanes, rows, pix, xf, yf, unbank = banked_lane_layout(
+        pixel_ids, config.width, n_banks
     )
     tables, sky6, cam19, kd = _persistent_args(scene, camera, config, key)
     # The camera is not a differentiable leaf on this path (matching
@@ -648,9 +641,6 @@ def render_block_grad_regen(
         pix, xf, yf, jnp.asarray(sample_offset, jnp.uint32), meta2, cam19,
         tables, sky6, static_cfg, bool(config.pallas_interpret),
     )
-
-    def unbank(o):
-        return o.reshape(n_banks, lanes_pad)[:, :n_lanes].reshape(-1)[:p]
 
     img = jnp.stack([unbank(out_r), unbank(out_g), unbank(out_b)], axis=-1)
     if return_counts:

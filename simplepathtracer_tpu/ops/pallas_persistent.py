@@ -48,6 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_common import (
     LANE as _LANE,
     SUB as _SUB,
+    banked_lane_layout,
     camera_ray_tiles,
     closest_hit_scan,
     hit_point_normal,
@@ -293,26 +294,11 @@ def render_block_persistent(
         # cheap: 16 measured best on v5e (straggler tail ~1/sqrt(banks)
         # vs ~9*n_banks extra VMEM ops/iteration).
         n_banks = DEFAULT_BANKS
-    n_banks = int(min(n_banks, max(1, p // _BLOCK)))
-    n_lanes = -(-p // n_banks)
-    lanes_pad = -(-n_lanes // _BLOCK) * _BLOCK
-    rows = lanes_pad // _LANE
-
-    pix_all = jnp.asarray(pixel_ids).astype(jnp.uint32)
-    # Position grid [n_banks, lanes_pad]: bank k, lane l -> position
-    # k*n_lanes + l in pixel_ids (clamped; overflow positions re-trace real
-    # pixels and are discarded by the final slice).
-    pos = (
-        jnp.arange(n_banks, dtype=jnp.int32)[:, None] * n_lanes
-        + jnp.arange(lanes_pad, dtype=jnp.int32)[None, :]
+    # Shared banked layout (pallas_common.banked_lane_layout) — the SAME
+    # position->(bank, lane) map the regen gradient kernels use.
+    n_banks, n_lanes, rows, pix, xf, yf, unbank = banked_lane_layout(
+        pixel_ids, width, n_banks
     )
-    pos = jnp.minimum(pos, p - 1)
-    pix = pix_all[pos]                                   # [n_banks, lanes_pad]
-    xf = (pix % jnp.uint32(width)).astype(jnp.float32)
-    yf = (pix // jnp.uint32(width)).astype(jnp.float32)
-    pix = pix.reshape(n_banks, rows, _LANE)
-    xf = xf.reshape(n_banks, rows, _LANE)
-    yf = yf.reshape(n_banks, rows, _LANE)
     soff = jnp.full((rows, _LANE), jnp.asarray(sample_offset, jnp.uint32))
 
     use_plane = plane7 is not None
@@ -352,17 +338,13 @@ def render_block_persistent(
             for _ in range(4)
         ),
         cost_estimate=pl.CostEstimate(
-            flops=40 * lanes_pad * n_banks * s * int(n_samples),
-            bytes_accessed=16 * lanes_pad * n_banks,
-            transcendentals=16 * lanes_pad * n_banks * int(n_samples),
+            flops=40 * rows * _LANE * n_banks * s * int(n_samples),
+            bytes_accessed=16 * rows * _LANE * n_banks,
+            transcendentals=16 * rows * _LANE * n_banks * int(n_samples),
         ),
         interpret=interpret,
     )(*scene_tables, sky6, plane7, cam19, jnp.asarray(key2, jnp.uint32),
       pix, soff, xf, yf)
-    # Undo the banked layout: position k*n_lanes + l -> [k, l].
-    def unbank(o):
-        return o.reshape(n_banks, lanes_pad)[:, :n_lanes].reshape(-1)[:p]
-
     img = jnp.stack([unbank(out_r), unbank(out_g), unbank(out_b)], axis=-1)
     if return_counts:
         return img, unbank(out_n)
