@@ -46,14 +46,27 @@ def render_linear(scene, camera, config, key):
     return (acc / config.spp).reshape(config.height, config.width, 3)
 
 
-def pixel_loss(params, static_scene, target, camera, config, key, leaves=DIFF_LEAVES):
+def pixel_loss(params, static_scene, target, camera, config, key, leaves=DIFF_LEAVES,
+               pixel_perm=None):
     """Mean squared error in linear radiance.
 
     Always differentiable: ``grad_safe_config`` swaps a forward-only
     ``use_pallas`` preset for the jnp bounce (+ Pallas closest-hit on TPU).
+
+    ``pixel_perm`` (optional [P] i32): render pixels in this order and
+    compare against the identically-permuted target — the loss VALUE is
+    unchanged (same (pixel, sample) set, MSE is order-invariant up to fp
+    summation), but a cost-balanced order evens the banked gradient
+    kernels' per-lane work (render.balanced_pixel_perm).
     """
     config = grad_safe_config(config)
     scene = merge_params(params, static_scene)
+    if pixel_perm is not None:
+        acc = render_sample_batch(
+            scene, camera, config, key, 0, config.spp, pixel_ids=pixel_perm
+        )
+        t = target.reshape(-1, 3)[pixel_perm]
+        return jnp.mean((acc / config.spp - t) ** 2)
     img = render_linear(scene, camera, config, key)
     return jnp.mean((img - target) ** 2)
 
@@ -133,8 +146,17 @@ def fit(
     param_mask=None,
     snapshot_path=None,
     snapshot_every: int = 0,
+    balance: bool = False,
 ):
     """Adam-optimize the scene's differentiable leaves against a target.
+
+    ``balance=True`` probes per-pixel cost once with the forward
+    persistent kernel (TPU or interpret mode) and renders every step in
+    the cost-balanced pixel order (render.balanced_pixel_perm) — the
+    banked gradient kernels' lanes then carry near-equal work, shrinking
+    the block-straggler tail.  Loss values are unchanged (same (pixel,
+    sample) set); the probe uses the INITIAL scene, so re-fit geometry
+    that moves far may warrant a fresh fit call.
 
     Each step uses a fresh base key so gradient noise is decorrelated across
     steps (stochastic gradient over path samples).  ``softness`` enables the
@@ -175,11 +197,17 @@ def fit(
         and jax.default_backend() == "tpu"
     ):
         config = config.replace(use_pallas_grad=True)
+    pixel_perm = None
+    if balance:
+        from .render import balanced_pixel_perm
+
+        pixel_perm = balanced_pixel_perm(scene_init, camera, config, key)
 
     @jax.jit
     def step_fn(params, opt_state, step_key):
         loss, grads = jax.value_and_grad(pixel_loss)(
-            params, static_scene, target, camera, config, step_key, leaves
+            params, static_scene, target, camera, config, step_key, leaves,
+            pixel_perm,
         )
         if param_mask is not None:
             grads = {

@@ -545,7 +545,8 @@ def render_pixel_block(scene, camera, config, key, pixel_ids, sample_offset, n_s
     return unperm(acc)
 
 
-def render_sample_batch(scene, camera, config, key, sample_offset, n_samples):
+def render_sample_batch(scene, camera, config, key, sample_offset, n_samples,
+                        pixel_ids=None):
     """Sum of radiance over ``n_samples`` consecutive sample ids for every
     pixel. Returns [P, 3] radiance sum (not yet averaged).
 
@@ -553,11 +554,39 @@ def render_sample_batch(scene, camera, config, key, sample_offset, n_samples):
     ``spp_chunk`` bounds live (and, under autodiff, rematerialized
     residual) memory here too — pixel_loss/fit at preset spp would
     otherwise trace one monolithic [spp * P]-ray program.
+
+    ``pixel_ids`` (optional): render pixels in this order instead of
+    row-major — row i of the result is pixel pixel_ids[i].  Randomness is
+    keyed by global pixel id, so a permutation changes LANE PLACEMENT
+    only, never values; a cost-balanced order (balanced_pixel_perm) evens
+    per-lane work for the banked kernels.
     """
-    pixel_ids = jnp.arange(config.num_pixels, dtype=jnp.int32)
+    if pixel_ids is None:
+        pixel_ids = jnp.arange(config.num_pixels, dtype=jnp.int32)
     return render_pixel_block(
         scene, camera, config, key, pixel_ids, sample_offset, n_samples
     )
+
+
+def balanced_pixel_perm(scene, camera, config, key, probe_spp=2):
+    """Cost-balanced pixel order from a persistent-kernel probe.
+
+    Renders ``probe_spp`` real spp with iteration counting and returns the
+    snake-balanced permutation (_balanced_perm) that the banked kernels'
+    position->(bank, lane) map (pallas_common.banked_lane_layout) turns
+    into near-equal per-lane work.  The probe requires the forward Pallas
+    kernel (TPU or interpret mode).  Intended for gradient-path consumers
+    (inverse.fit(balance=True)): the forward accumulate() path probes
+    internally via config.balance_probe_spp instead.
+    """
+    pixel_ids = jnp.arange(config.num_pixels, dtype=jnp.int32)
+    pcfg = config.replace(
+        use_pallas=True, use_pallas_grad=False, use_pallas_hits=False
+    )
+    _, counts = _render_block_pallas(
+        scene, camera, pcfg, key, pixel_ids, 0, probe_spp, return_counts=True
+    )
+    return _balanced_perm(counts)
 
 
 def init_state(config: RenderConfig, key) -> RenderState:

@@ -158,3 +158,21 @@ def test_regen_iteration_counts():
     blocks = counts.reshape(-1, 1024)
     ratio = float(jnp.max(jnp.max(blocks, 1) / jnp.mean(blocks, 1)))
     assert 1.0 <= ratio < 3.0, ratio
+
+
+def test_regen_fit_balanced_matches_unbalanced():
+    """balance=True renders in cost-balanced pixel order: lane placement
+    changes, values don't — the fit trajectory must match the unbalanced
+    one step for step (same keys, same sample set, fp-tolerance losses)."""
+    scene, cam, cfg, key = _setup(width=32, height=16, spp=2, depth=4)
+    cfg_r = _regen(cfg)
+    target = inverse.render_linear(scene, cam, cfg, jax.random.fold_in(key, 9))
+    perturbed = scene.replace(albedo=jnp.clip(scene.albedo + 0.2, 0.05, 0.95))
+    _, losses_u = inverse.fit(
+        perturbed, target, cam, cfg_r, key, steps=4, lr=3e-2, leaves=("albedo",)
+    )
+    _, losses_b = inverse.fit(
+        perturbed, target, cam, cfg_r, key, steps=4, lr=3e-2, leaves=("albedo",),
+        balance=True,
+    )
+    np.testing.assert_allclose(losses_b, losses_u, rtol=1e-4)
