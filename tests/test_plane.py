@@ -182,3 +182,22 @@ def test_plane_checkpoint_roundtrip(tmp_path):
     checkpoint.save(p, state, scene.replace(plane=None), cfg)
     _, scene3, _, _ = checkpoint.load(p)
     assert scene3.plane is None
+
+
+def test_plane_sharded_matches_unsharded():
+    """Ground-plane scene through the ('tiles','samples') mesh: sharding
+    cannot change values (randomness keyed by global ids)."""
+    import jax.numpy as jnp
+
+    from simplepathtracer_tpu.parallel import make_mesh, render_accum_sharded
+    from simplepathtracer_tpu.render import render_sample_batch
+
+    scene = _floating_scene()
+    cfg = spt.RenderConfig(width=32, height=16, spp=4, max_depth=3)
+    key = jax.random.PRNGKey(1)
+    mesh = make_mesh(tiles=4, samples=2)
+    sharded = np.asarray(jax.jit(
+        lambda s, c, k: render_accum_sharded(s, c, cfg, k, mesh)
+    )(scene, _cam(), key))
+    single = np.asarray(render_sample_batch(scene, _cam(), cfg, key, 0, cfg.spp))
+    np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-6)
