@@ -126,3 +126,52 @@ def test_regen_grad_kernels_match_jnp_compiled():
     for k in g_j:
         a, b = np.asarray(g_j[k]), np.asarray(g_r[k])
         np.testing.assert_allclose(b, a, rtol=5e-3, atol=5e-6, err_msg=k)
+
+
+def test_mosaic_dynamic_leading_dim_and_scratch_grid():
+    """Isolated probes for the two Mosaic features the regen gradient
+    kernels depend on: (a) dynamic leading-dim ref[k] stores/loads inside
+    a fori_loop, (b) VMEM scratch persisting across a sequential grid
+    dimension.  Tiny kernel, compiles in seconds — if the big kernel fails
+    to build, this pinpoints which mechanism Mosaic rejected."""
+    import functools
+
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    CH, NCH = 4, 3  # chunk rows per grid step, sequential steps
+
+    def kernel(x_ref, out_ref, acc_ref):
+        @pl.when(pl.program_id(1) == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros((8, 128), jnp.float32)
+
+        def body(kl, _):
+            # Dynamic leading-dim store (traced kl) + scratch accumulation.
+            acc_ref[:] = acc_ref[:] + x_ref[:]
+            out_ref[kl] = acc_ref[:] * (kl + 1)
+            return 0
+
+        jax.lax.fori_loop(0, CH, body, 0)
+
+    x = jnp.arange(8 * 128, dtype=jnp.float32).reshape(8, 128) / 1024.0
+    out = pl.pallas_call(
+        kernel,
+        grid=(1, NCH),
+        in_specs=[pl.BlockSpec((8, 128), lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((CH, 8, 128), lambda i, j: (j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((CH * NCH, 8, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
+    )(x)
+    out = np.asarray(out)
+    # acc after global iteration g (0-based) is (g+1)*x; row g stores
+    # acc * (local_k+1).
+    for j in range(NCH):
+        for kl in range(CH):
+            g = j * CH + kl
+            expected = (g + 1) * (kl + 1) * np.asarray(x)
+            np.testing.assert_allclose(out[g], expected, rtol=1e-6,
+                                       err_msg=f"chunk {j} row {kl}")
