@@ -16,6 +16,7 @@ from .scenes import (
     reference_scene,
     simple_scene,
     three_sphere_scene,
+    with_ground_plane,
 )
 from .render import accumulate, init_state, render, render_pixels, trace_rays
 from .presets import PRESETS, Preset
@@ -36,6 +37,7 @@ __all__ = [
     "reference_scene",
     "simple_scene",
     "three_sphere_scene",
+    "with_ground_plane",
     "accumulate",
     "init_state",
     "render",
