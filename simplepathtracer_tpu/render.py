@@ -525,7 +525,8 @@ def render_pixel_block(scene, camera, config, key, pixel_ids, sample_offset, n_s
             from .ops.pallas_grad_regen import render_block_grad_regen
 
             batch = render_block_grad_regen(
-                scene, camera, config, key, pixel_ids, off, chunk
+                scene, camera, config, key, pixel_ids, off, chunk,
+                n_banks=config.grad_regen_banks or None,
             )
             return acc + batch, None
         pids = jnp.tile(pixel_ids, (chunk,))

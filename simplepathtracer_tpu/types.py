@@ -172,6 +172,10 @@ class RenderConfig:
     # the per-bounce fused kernels for explicit-ray entry points
     # (silhouette blend) and plane scenes.
     grad_regen: bool = False
+    # Pixel banks per lane for the regen gradient kernels (chains/lane =
+    # banks * spp_chunk; the block-straggler tail shrinks ~1/sqrt(chains)
+    # while the bank-select cost grows O(banks)).  0 = module default.
+    grad_regen_banks: int = 0
     pallas_interpret: bool = False  # run the kernels interpreted (CPU tests)
     # Soft-silhouette blend width for the first bounce (0 = hard edges).
     # Used by inverse rendering to recover geometry gradients at visibility
