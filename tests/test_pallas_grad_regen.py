@@ -176,3 +176,36 @@ def test_regen_fit_balanced_matches_unbalanced():
         balance=True,
     )
     np.testing.assert_allclose(losses_b, losses_u, rtol=1e-4)
+
+
+def test_regen_finite_difference_albedo():
+    """Direct FD validation of the regen path's autodiff (not just
+    equivalence-by-proxy with the jnp bounce)."""
+    scene, cam, _, key = _setup()
+    cfg = spt.RenderConfig(width=32, height=16, spp=8, max_depth=4,
+                           use_pallas_grad=True, grad_regen=True,
+                           pallas_interpret=True)
+    params, static_scene = inverse.split_params(scene, ("albedo",))
+    target = jnp.full((16, 32, 3), 0.25, jnp.float32)
+
+    def f(albedo):
+        return inverse.pixel_loss(
+            {"albedo": albedo}, static_scene, target, cam, cfg, key, ("albedo",)
+        )
+
+    g = jax.grad(f)(params["albedo"])
+    eps = 1e-3
+    e = jnp.zeros_like(params["albedo"]).at[1, 0].set(1.0)
+    fd = float((f(params["albedo"] + eps * e) - f(params["albedo"] - eps * e))
+               / (2 * eps))
+    ad = float(jnp.vdot(g, e))
+    assert abs(ad - fd) < 5e-3 * max(abs(fd), 1e-3), (ad, fd)
+
+
+def test_regen_bench_like_depth10():
+    """Bench-shaped chunk count (depth 10, 8 banks -> 40 sequential grid
+    steps): values still match the jnp bounce."""
+    scene, cam, cfg, key = _setup(width=128, height=64, spp=4, depth=10)
+    img_j = inverse.render_linear(scene, cam, cfg, key)
+    img_r = inverse.render_linear(scene, cam, _regen(cfg), key)
+    _assert_images_close(img_j, img_r)
