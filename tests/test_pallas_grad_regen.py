@@ -199,13 +199,18 @@ def test_regen_finite_difference_albedo():
     fd = float((f(params["albedo"] + eps * e) - f(params["albedo"] - eps * e))
                / (2 * eps))
     ad = float(jnp.vdot(g, e))
-    assert abs(ad - fd) < 5e-3 * max(abs(fd), 1e-3), (ad, fd)
+    # f32 central differences at eps=1e-3 carry ~1e-5 truncation/rounding.
+    assert abs(ad - fd) < 2e-2 * abs(fd) + 2e-5, (ad, fd)
 
 
 def test_regen_bench_like_depth10():
     """Bench-shaped chunk count (depth 10, 8 banks -> 40 sequential grid
-    steps): values still match the jnp bounce."""
+    steps): values still match the jnp bounce.  At depth 10 knife-edge
+    grazing hits can flip between fp orderings (CLAUDE.md), so this uses
+    the mean + outlier-fraction bounds of the kernel equivalence suite."""
     scene, cam, cfg, key = _setup(width=128, height=64, spp=4, depth=10)
-    img_j = inverse.render_linear(scene, cam, cfg, key)
-    img_r = inverse.render_linear(scene, cam, _regen(cfg), key)
-    _assert_images_close(img_j, img_r)
+    img_j = np.asarray(inverse.render_linear(scene, cam, cfg, key))
+    img_r = np.asarray(inverse.render_linear(scene, cam, _regen(cfg), key))
+    d = np.abs(img_j - img_r)
+    assert d.mean() < 1e-4, d.mean()
+    assert (d > 1e-2).mean() < 1e-3, (d > 1e-2).mean()
