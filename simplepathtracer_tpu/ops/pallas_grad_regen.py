@@ -567,12 +567,40 @@ def _regen_bwd_rule(static_cfg, interpret, resaux, ct):
     attr_cts = outs[:9]
     sky_parts = outs[9:]
     idx = residuals[14]
-    # Bucket ALL iterations' attribute cotangents in one pass (dead and
-    # unexecuted iterations carry idx == -1 and exact-zero cotangents).
-    flat = lambda a: a.reshape(b_total * rows, _LANE)  # noqa: E731
-    d_tab = bucket_cols_pallas(
-        tuple(flat(a) for a in attr_cts), flat(idx), s_pad, interpret=interpret
-    )
+    # Bucket every iteration's attribute cotangents (dead and unexecuted
+    # iterations carry idx == -1 and exact-zero cotangents, and take the
+    # bucket kernel's dead-chunk skip).  The [K_pad, N] operand for the
+    # FULL budget would be k_pad * b_total * rows * 128 * 4 bytes (~5 GB at
+    # bench scale, on top of the ~10.5 GB of live residual + cotangent
+    # planes), so slice the pass over the iteration dim and accumulate —
+    # scan reuses one slice-sized buffer.
+    slice_elems = 8 << 20                   # ~512 MB ctt slice at k_pad=16
+    g = b_total
+    for cand in range(b_total, 0, -1):
+        if b_total % cand == 0 and cand * rows * _LANE <= slice_elems:
+            g = cand
+            break
+    n_sl = b_total // g
+    if n_sl == 1:
+        flat = lambda a: a.reshape(b_total * rows, _LANE)  # noqa: E731
+        d_tab = bucket_cols_pallas(
+            tuple(flat(a) for a in attr_cts), flat(idx), s_pad,
+            interpret=interpret,
+        )
+    else:
+        sl = lambda a: a.reshape(n_sl, g * rows, _LANE)  # noqa: E731
+
+        def bucket_slice(acc, xs):
+            cols, idx_s = xs
+            return acc + bucket_cols_pallas(
+                cols, idx_s, s_pad, interpret=interpret
+            ), None
+
+        d_tab, _ = jax.lax.scan(
+            bucket_slice,
+            to_vma(jnp.zeros((s_pad, 9), jnp.float32)),
+            (tuple(sl(a) for a in attr_cts), sl(idx)),
+        )
     d_tab = d_tab[:s_real]
     d_sky6 = jnp.stack([jnp.sum(a) for a in sky_parts])
 
