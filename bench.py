@@ -4,8 +4,11 @@ Emits the north-star numbers (BASELINE.json):
   * fwd                — forward throughput, cover scene, no Russian roulette
   * fwd_rr             — forward with rr_start_depth=2 (unbiased early term)
   * fwd_bwd            — value_and_grad of pixel MSE, 8 spp in one dispatch
-  * fwd_bwd_sustained  — same at the full 100-spp preset (spp-chunked remat:
-                         what `spt-render --invert` actually sustains)
+                         (per-bounce fused kernels: the regen A/B baseline)
+  * fwd_bwd_regen      — same dispatch on the regeneration kernels (the
+                         default TPU gradient path since round 3)
+  * fwd_bwd_sustained  — default path at the full 100-spp preset
+                         (spp-chunked: what `spt-render invert` sustains)
   * vpu_utilization    — achieved sphere-scan VPU tile-ops/cycle vs the
                          measured ~2.3 issue ceiling (the roofline check on
                          the "algorithm ceiling" claim, SURVEY.md S6)
@@ -134,7 +137,7 @@ def _bench_forward(accumulate, init_state, scene, camera, config, key, spp):
     return dt, compile_s
 
 
-def _bench_grad(scene, camera, config, key, spp, spp_chunk, reps=2, regen=False):
+def _bench_grad(scene, camera, config, key, spp, spp_chunk, reps=2, regen=None):
     """Steady-state seconds for one jitted value_and_grad of the pixel MSE."""
     import jax
     import jax.numpy as jnp
@@ -144,11 +147,14 @@ def _bench_grad(scene, camera, config, key, spp, spp_chunk, reps=2, regen=False)
 
     # spp_chunk=spp benches one unchunked dispatch; spp_chunk=0 lets
     # grad_safe_config pick the rematerialization chunking (the
-    # memory-bounded variant the CLI fit actually runs).  regen=True
-    # selects the regeneration gradient kernels (ops/pallas_grad_regen.py).
+    # memory-bounded variant the CLI fit actually runs).  regen selects
+    # the regeneration gradient kernels (ops/pallas_grad_regen.py);
+    # None keeps grad_safe_config's default (regen on TPU).
     gcfg = grad_safe_config(
         config.replace(spp=spp, spp_chunk=spp_chunk)
-    ).replace(rr_start_depth=0, grad_regen=regen)
+    ).replace(rr_start_depth=0)
+    if regen is not None:
+        gcfg = gcfg.replace(grad_regen=regen)
     params, static_scene = inverse.split_params(scene)
     target = jnp.zeros((gcfg.height, gcfg.width, 3), jnp.float32)
     vg = jax.jit(jax.value_and_grad(inverse.pixel_loss), static_argnames=("config",))
@@ -321,10 +327,12 @@ def main():
     except Exception as e:
         errors.append(f"fwd_rr: {e!r}")
 
-    # --- fwd+bwd, one unchunked 8-spp dispatch ------------------------------
+    # --- fwd+bwd, one unchunked 8-spp dispatch (per-bounce fused kernels,
+    # the regen A/B baseline) -------------------------------------------------
     try:
         grad_dt, grad_compile = _bench_grad(
-            scene, camera, config, key, GRAD_SPP, spp_chunk=GRAD_SPP
+            scene, camera, config, key, GRAD_SPP, spp_chunk=GRAD_SPP,
+            regen=False,
         )
         grad_pps = WIDTH * HEIGHT * GRAD_SPP / grad_dt
         metrics.append({
@@ -351,7 +359,8 @@ def main():
     except Exception as e:
         errors.append(f"fwd_bwd_regen: {e!r}")
 
-    # --- fwd+bwd sustained at the 100-spp preset (remat-chunked) ------------
+    # --- fwd+bwd sustained at the 100-spp preset (default gradient path:
+    # regen kernels, grad_safe_config-chunked) -------------------------------
     try:
         sus_dt, sus_compile = _bench_grad(
             scene, camera, config, key, SUSTAINED_SPP, spp_chunk=0, reps=1

@@ -109,6 +109,14 @@ def trace_rays_pallas(origins, dirs, keys, scene: Scene, config: RenderConfig):
 # Rays differentiated per rematerialized spp chunk (~1.7 GB of fused-path
 # residuals at depth 10) — see grad_safe_config.
 _GRAD_RAY_BUDGET = 2_000_000
+# Lane-iterations (spp * pixels * max_depth) per chunk for the REGEN
+# gradient kernels: their residuals are per-iteration, 136 B each (25 fwd
+# planes + 9 bwd cotangent planes), so 48M iterations ≈ 6.5 GB — and the
+# kernels' fixed costs amortize with chunk size (measured 12.1 -> 13.6
+# -> 14.3 Mpaths/s sustained at bench-scale chunks 2/5/10,
+# experiments/regen_sustained_bench.py; 48M picks chunk 5, one step back
+# from the HBM ceiling chunk 10 would sit at).
+_GRAD_ITER_BUDGET_REGEN = 48_000_000
 
 
 def grad_safe_config(config: RenderConfig) -> RenderConfig:
@@ -122,13 +130,18 @@ def grad_safe_config(config: RenderConfig) -> RenderConfig:
     forward rendering (use_pallas=True) keeps its speed intent on the
     gradient path instead of crashing deep inside shard_map.
 
+    On kernel backends the regeneration kernels (grad_regen) are the
+    default gradient path; render_pixel_block falls back to the per-bounce
+    fused kernels (or the jnp bounce) for the scenes they don't cover.
+
     Also bounds the differentiated rays per chunk: the backward pass keeps
-    per-(ray, bounce) residuals alive (the fused Pallas path: 21 f32 tiles
-    per ray per bounce ≈ 840 MB per bench-scale spp), so a preset-sized
-    spp rendered in one monolithic batch would OOM the chip under
-    value_and_grad.  If the user set no spp_chunk, pick one that keeps a
-    chunk's rays near _GRAD_RAY_BUDGET (render_pixel_block remats each
-    chunk, so total residual memory is one chunk's worth).
+    per-(ray, bounce) residuals alive (regen path: 136 B per lane
+    iteration; per-bounce fused path: 21 f32 tiles per ray per bounce
+    ≈ 840 MB per bench-scale spp), so a preset-sized spp rendered in one
+    monolithic batch would OOM the chip under value_and_grad.  If the user
+    set no spp_chunk, pick one that keeps a chunk's work near the path's
+    budget (render_pixel_block remats each chunk, so total residual memory
+    is one chunk's worth).
     """
     if config.use_pallas:
         # The gradient kernels need real TPU hardware (or interpret mode) —
@@ -140,9 +153,21 @@ def grad_safe_config(config: RenderConfig) -> RenderConfig:
             use_pallas=False,
             use_pallas_grad=config.use_pallas_grad or on_kernel_backend,
             use_pallas_hits=config.use_pallas_hits or on_kernel_backend,
+            # Regeneration kernels are the production TPU gradient path
+            # (2x the per-bounce fused path: 22.2 vs 11.0 Mpaths/s at
+            # bench scale, BENCH_r03).  render_pixel_block still falls
+            # back per-scene (plane / soft-silhouette entry points).
+            grad_regen=config.grad_regen or on_kernel_backend,
         )
     if config.spp_chunk == 0:
-        max_chunk = max(1, _GRAD_RAY_BUDGET // config.num_pixels)
+        if (config.use_pallas_grad and config.grad_regen
+                and config.silhouette_softness == 0.0):
+            max_chunk = _GRAD_ITER_BUDGET_REGEN // (
+                config.num_pixels * max(1, config.max_depth)
+            )
+        else:
+            max_chunk = _GRAD_RAY_BUDGET // config.num_pixels
+        max_chunk = max(1, max_chunk)
         if config.spp > max_chunk:
             config = config.replace(spp_chunk=max_chunk)
     return config

@@ -100,6 +100,11 @@ def test_grad_safe_config_prefers_fused():
     safe = grad_safe_config(cfg)
     assert not safe.use_pallas
     assert safe.use_pallas_grad
+    # Regeneration kernels are the default gradient path on kernel
+    # backends (2x the per-bounce fused path, BENCH_r03); scenes the regen
+    # path can't serve (plane, soft silhouettes) fall back per-call in
+    # render_pixel_block.
+    assert safe.grad_regen
 
 
 def test_sharded_train_step_fused():

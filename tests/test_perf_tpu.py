@@ -5,11 +5,13 @@ they skip there); execute manually or from a TPU-attached session with:
 
     SPT_TPU_TESTS=1 python -m pytest tests/test_perf_tpu.py --no-header -q -p no:cacheprovider
 
-Thresholds sit at ~0.7x the round-2 measured numbers (fwd ~44 Mpaths/s
-no-RR, ~55 with Russian roulette, fwd+bwd ~10 Mpaths/s at 8 spp/dispatch —
-BASELINE.md) so they catch real regressions, not machine variance.  All
-three north-star metrics are guarded; round 2's guard was a stale 15M fwd
-floor that a 3x regression would have passed (VERDICT r2 weak #3).
+Thresholds sit at ~0.7x the round-3 driver-verified numbers (BENCH_r03:
+fwd 43.9 Mpaths/s no-RR, 54.9 with Russian roulette, per-bounce fwd+bwd
+11.0 at 8 spp/dispatch, regen fwd+bwd 22.2, sustained 100-spp preset 13.6
+via the regen default) so they catch real regressions, not machine
+variance.  All north-star metrics are guarded; round 2's guard was a
+stale 15M fwd floor that a 3x regression would have passed (VERDICT r2
+weak #3).
 """
 
 import os
@@ -23,9 +25,11 @@ import simplepathtracer_tpu as spt
 from simplepathtracer_tpu.render import accumulate, init_state
 from simplepathtracer_tpu.scenes import compact_scene
 
-MIN_FWD_PATHS_PER_SEC = 30e6      # measured ~44M on v5e (adaptive balancing)
-MIN_FWD_RR_PATHS_PER_SEC = 38e6   # measured ~55M with rr_start_depth=2
-MIN_FWD_BWD_PATHS_PER_SEC = 7e6   # measured ~10M at 8 spp per dispatch
+MIN_FWD_PATHS_PER_SEC = 30e6      # measured 43.9M on v5e (adaptive balancing)
+MIN_FWD_RR_PATHS_PER_SEC = 38e6   # measured 54.9M with rr_start_depth=2
+MIN_FWD_BWD_PATHS_PER_SEC = 7e6   # measured 11.0M (per-bounce, 8 spp/dispatch)
+MIN_FWD_BWD_REGEN_PATHS_PER_SEC = 15e6   # measured 22.2M (regen, 8 spp)
+MIN_FWD_BWD_SUSTAINED_PATHS_PER_SEC = 9e6  # measured 13.6M (100-spp preset)
 
 pytestmark = pytest.mark.skipif(
     jax.devices()[0].platform == "cpu" and not os.environ.get("JAX_REQUIRE_TPU_PERF"),
@@ -73,21 +77,18 @@ def test_cover_scene_forward_rr_threshold():
     assert pps > MIN_FWD_RR_PATHS_PER_SEC, f"fwd+RR {pps/1e6:.1f} Mpaths/s below threshold"
 
 
-def test_cover_scene_fwd_bwd_threshold():
-    """The north-star gradient metric was previously unguarded entirely."""
+def _grad_pps(scene, camera, spp, spp_chunk, grad_regen):
     import jax.numpy as jnp
 
     from simplepathtracer_tpu import inverse
     from simplepathtracer_tpu.render import grad_safe_config
 
-    scene, camera = _bench_setup()
-    spp = 8
     gcfg = grad_safe_config(
         spt.RenderConfig(
-            width=1200, height=800, spp=spp, max_depth=10, spp_chunk=spp,
-            use_pallas=True,
+            width=1200, height=800, spp=spp, max_depth=10,
+            spp_chunk=spp_chunk, use_pallas=True,
         )
-    ).replace(rr_start_depth=0)
+    ).replace(rr_start_depth=0, grad_regen=grad_regen)
     params, static_scene = inverse.split_params(scene)
     target = jnp.zeros((gcfg.height, gcfg.width, 3), jnp.float32)
     vg = jax.jit(jax.value_and_grad(inverse.pixel_loss), static_argnames=("config",))
@@ -98,7 +99,33 @@ def test_cover_scene_fwd_bwd_threshold():
     t0 = time.time()
     loss, _ = vg(params, static_scene, target, camera, gcfg, key)
     np.asarray(loss)
-    pps = gcfg.num_pixels * spp / (time.time() - t0)
+    return gcfg.num_pixels * spp / (time.time() - t0)
+
+
+def test_cover_scene_fwd_bwd_threshold():
+    """Per-bounce fused kernels (the regen A/B baseline); previously the
+    north-star gradient metric was unguarded entirely."""
+    scene, camera = _bench_setup()
+    pps = _grad_pps(scene, camera, spp=8, spp_chunk=8, grad_regen=False)
     assert pps > MIN_FWD_BWD_PATHS_PER_SEC, (
         f"fwd+bwd {pps/1e6:.1f} Mpaths/s below threshold"
+    )
+
+
+def test_cover_scene_fwd_bwd_regen_threshold():
+    """Regeneration kernels: the default TPU gradient path since round 3."""
+    scene, camera = _bench_setup()
+    pps = _grad_pps(scene, camera, spp=8, spp_chunk=8, grad_regen=True)
+    assert pps > MIN_FWD_BWD_REGEN_PATHS_PER_SEC, (
+        f"fwd+bwd regen {pps/1e6:.1f} Mpaths/s below threshold"
+    )
+
+
+def test_cover_scene_fwd_bwd_sustained_threshold():
+    """The 100-spp preset rate the CLI invert actually sustains (regen
+    default, grad_safe_config-chunked)."""
+    scene, camera = _bench_setup()
+    pps = _grad_pps(scene, camera, spp=100, spp_chunk=0, grad_regen=True)
+    assert pps > MIN_FWD_BWD_SUSTAINED_PATHS_PER_SEC, (
+        f"fwd+bwd sustained {pps/1e6:.1f} Mpaths/s below threshold"
     )

@@ -124,10 +124,14 @@ def test_bounce_megakernel_russian_roulette_matches_jnp():
 
 
 def test_grad_safe_config_bounds_residual_memory():
-    """Preset-scale spp must be auto-chunked under autodiff: the fused
-    backward keeps ~840 MB of residuals per bench-scale spp, so an
-    unchunked inverse.fit(PRESETS['cover'].config) (spp=100) would OOM."""
-    from simplepathtracer_tpu.render import _GRAD_RAY_BUDGET, grad_safe_config
+    """Preset-scale spp must be auto-chunked under autodiff: the gradient
+    backward keeps per-(ray, bounce) residuals alive, so an unchunked
+    inverse.fit(PRESETS['cover'].config) (spp=100) would OOM.  The budget
+    is path-dependent: regen residuals are per lane-iteration (136 B), the
+    per-bounce fused path's per ray (~840 B at depth 10)."""
+    from simplepathtracer_tpu.render import (
+        _GRAD_ITER_BUDGET_REGEN, _GRAD_RAY_BUDGET, grad_safe_config,
+    )
 
     cfg = spt.RenderConfig(
         width=1200, height=800, spp=100, max_depth=10, spp_chunk=0,
@@ -135,7 +139,15 @@ def test_grad_safe_config_bounds_residual_memory():
     )
     safe = grad_safe_config(cfg)
     assert safe.spp_chunk > 0
-    assert safe.spp_chunk * cfg.num_pixels <= _GRAD_RAY_BUDGET
+    if safe.grad_regen:
+        assert (safe.spp_chunk * cfg.num_pixels * cfg.max_depth
+                <= _GRAD_ITER_BUDGET_REGEN)
+    else:
+        assert safe.spp_chunk * cfg.num_pixels <= _GRAD_RAY_BUDGET
+    # An explicitly non-regen config keeps the tighter per-ray budget.
+    safe_pb = grad_safe_config(cfg.replace(use_pallas=False,
+                                           use_pallas_grad=True))
+    assert safe_pb.spp_chunk * cfg.num_pixels <= _GRAD_RAY_BUDGET
     # Small configs stay unchunked (no needless scan in the trace).
     small = spt.RenderConfig(width=48, height=24, spp=2)
     assert grad_safe_config(small).spp_chunk == 0
