@@ -136,7 +136,18 @@ def _invert_preset(args) -> int:
     delta = jnp.full_like(truth.albedo, 0.18).at[ground].set(0.0)
     perturbed = truth.replace(albedo=jnp.clip(truth.albedo + delta, 0.03, 0.97))
     mask = {"albedo": jnp.ones_like(truth.albedo).at[ground].set(0.0)}
-    err0 = float(jnp.abs(perturbed.albedo - truth.albedo).max())
+    fit_rows = mask["albedo"][:, :1]  # [S,1] 1 = fitted sphere
+    n_fit = float(fit_rows.sum()) * 3.0
+
+    def albedo_err(scene):
+        d = jnp.abs(scene.albedo - truth.albedo) * mask["albedo"]
+        # mean = the recovery metric (visible spheres dominate the image
+        # loss and converge); max = the Adam random-walk bound on
+        # occluded/sub-pixel spheres whose gradients are pure MC noise
+        # (see inverse.fit docstring) — it GROWS with lr * steps.
+        return float(d.sum() / n_fit), float(d.max())
+
+    err0_mean, err0_max = albedo_err(perturbed)
     before = inverse.render_linear(perturbed, camera, rcfg, key)
 
     def cb(i, loss, params):
@@ -151,12 +162,13 @@ def _invert_preset(args) -> int:
         perturbed, target, camera, config, key, steps=args.steps, lr=args.lr,
         leaves=("albedo",), param_mask=mask, callback=cb, **snap_kw,
     )
-    err1 = float(jnp.abs(recovered.albedo - truth.albedo).max())
+    err1_mean, err1_max = albedo_err(recovered)
     after = inverse.render_linear(recovered, camera, rcfg, key)
     meter.emit({
         "phase": "invert_done", "preset": args.preset,
         "loss_first": losses[0], "loss_last": losses[-1],
-        "albedo_err_before": err0, "albedo_err_after": err1,
+        "albedo_err_before": err0_mean, "albedo_err_after": err1_mean,
+        "albedo_maxerr_before": err0_max, "albedo_maxerr_after": err1_max,
     })
     if args.output:
         trip = np.concatenate(
