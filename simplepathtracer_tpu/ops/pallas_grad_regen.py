@@ -109,12 +109,21 @@ def _regen_fwd_kernel(
     *rest,
     n_spheres: int, n_banks: int, n_samples: int, max_depth: int,
     width: int, height: int, t_min: float, t_max: float,
-    rr_start_depth: int,
+    rr_start_depth: int, emit_full: bool = True,
 ):
-    res = rest[:_N_RES]           # _N_RES x (_CHUNK, 8, 128) outputs
+    if emit_full:
+        res = rest[:_N_RES]       # _N_RES x (_CHUNK, 8, 128) outputs
+        scr = rest[_N_RES:]
+        idx_out = res[14]
+    else:
+        # Streamed-idx mode: the ONLY residual is the winner-index plane;
+        # the scan-free re-forward kernel regenerates everything else.
+        res = None
+        idx_out = rest[0]
+        scr = rest[1:]
     (kb_s, s_s, b_s, alive_s,
      ox_s, oy_s, oz_s, dx_s, dy_s, dz_s,
-     tr_s, tg_s, tb_s, acr_s, acg_s, acb_s) = rest[_N_RES:]
+     tr_s, tg_s, tb_s, acr_s, acg_s, acb_s) = scr
     f32 = jnp.float32
     shape = (_SUB, _LANE)
     tables = (
@@ -194,20 +203,21 @@ def _regen_fwd_kernel(
             pix = npix
 
             # ---- record the iteration's entry (post-regen) residuals -----
-            res[0][kl] = ox
-            res[1][kl] = oy
-            res[2][kl] = oz
-            res[3][kl] = dx
-            res[4][kl] = dy
-            res[5][kl] = dz
-            res[6][kl] = tr
-            res[7][kl] = tg
-            res[8][kl] = tb
-            res[9][kl] = jnp.where(alive, 1.0, 0.0)
-            res[10][kl] = rf
-            res[11][kl] = pltpu.bitcast(kb, jnp.int32)
-            res[12][kl] = pltpu.bitcast(s, jnp.int32)
-            res[13][kl] = pltpu.bitcast(b, jnp.int32)
+            if emit_full:
+                res[0][kl] = ox
+                res[1][kl] = oy
+                res[2][kl] = oz
+                res[3][kl] = dx
+                res[4][kl] = dy
+                res[5][kl] = dz
+                res[6][kl] = tr
+                res[7][kl] = tg
+                res[8][kl] = tb
+                res[9][kl] = jnp.where(alive, 1.0, 0.0)
+                res[10][kl] = rf
+                res[11][kl] = pltpu.bitcast(kb, jnp.int32)
+                res[12][kl] = pltpu.bitcast(s, jnp.int32)
+                res[13][kl] = pltpu.bitcast(b, jnp.int32)
 
             # ---- closest hit + shared differentiable bounce --------------
             winner = closest_hit_scan(
@@ -217,11 +227,12 @@ def _regen_fwd_kernel(
             (t_scan, bi, wcx, wcy, wcz, wr, war, wag, wab, wmat, wfz, wio) = winner
             del t_scan
             hit = bi >= 0
-            res[14][kl] = jnp.where(alive & hit, bi, -1)
-            res[15][kl] = wmat
+            idx_out[kl] = jnp.where(alive & hit, bi, -1)
             a9 = (wcx, wcy, wcz, wr, war, wag, wab, wfz, wio)
-            for j, a in enumerate(a9):
-                res[16 + j][kl] = a
+            if emit_full:
+                res[15][kl] = wmat
+                for j, a in enumerate(a9):
+                    res[16 + j][kl] = a
 
             u = _uniforms7_tile(k0, k1, pix, samp, b)
             do_rr = b >= jnp.uint32(rr_start_depth)
@@ -276,8 +287,9 @@ def _regen_fwd_kernel(
         neg1 = jnp.full(shape, -1, jnp.int32)
 
         def body(kl, _):
-            res[9][kl] = zero
-            res[14][kl] = neg1
+            if emit_full:
+                res[9][kl] = zero
+            idx_out[kl] = neg1
             return 0
 
         jax.lax.fori_loop(0, _CHUNK, body, 0)
@@ -413,7 +425,8 @@ def _regen_trace(pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg, inte
     return out
 
 
-def _regen_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg, interpret):
+def _regen_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg,
+                    interpret, emit_idx_only=False):
     (n_banks, n_samples, max_depth, width, height, t_min, t_max,
      rr_start_depth) = static_cfg
     rows = pix.shape[1]
@@ -423,12 +436,14 @@ def _regen_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg, i
     budget = n_banks * n_samples * max_depth
     n_chunks = -(-budget // _CHUNK)
     b_total = n_chunks * _CHUNK
+    n_res = 1 if emit_idx_only else _N_RES
 
     kernel = functools.partial(
         _regen_fwd_kernel,
         n_spheres=s_pad, n_banks=n_banks, n_samples=n_samples,
         max_depth=max_depth, width=width, height=height,
         t_min=t_min, t_max=t_max, rr_start_depth=rr_start_depth,
+        emit_full=not emit_idx_only,
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     bank_in = pl.BlockSpec(
@@ -457,7 +472,10 @@ def _regen_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg, i
     lane_sds = jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma)
     f32res = jax.ShapeDtypeStruct((b_total, rows, _LANE), jnp.float32, vma=vma)
     i32res = jax.ShapeDtypeStruct((b_total, rows, _LANE), jnp.int32, vma=vma)
-    res_dtypes = [f32res] * 11 + [i32res] * 5 + [f32res] * 9
+    if emit_idx_only:
+        res_dtypes = [i32res]
+    else:
+        res_dtypes = [f32res] * 11 + [i32res] * 5 + [f32res] * 9
     scratch = [pltpu.VMEM((_SUB, _LANE), jnp.uint32)] * 3 + [
         pltpu.VMEM((_SUB, _LANE), jnp.float32)
     ] * 13
@@ -466,12 +484,12 @@ def _regen_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg, i
         kernel,
         grid=(n_blocks, n_chunks),
         in_specs=[smem] * 14 + [bank_in] * 3 + [tile_in],
-        out_specs=tuple([bank_out] * 3 + [lane_out] + [res_out] * _N_RES),
+        out_specs=tuple([bank_out] * 3 + [lane_out] + [res_out] * n_res),
         out_shape=tuple([bank_sds] * 3 + [lane_sds] + res_dtypes),
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=35 * rows * _LANE * s_pad * max(1, budget // max_depth),
-            bytes_accessed=4 * rows * _LANE * b_total * _N_RES,
+            bytes_accessed=4 * rows * _LANE * b_total * n_res,
             transcendentals=16 * rows * _LANE * budget,
         ),
         interpret=interpret,
@@ -491,13 +509,18 @@ def _regen_fwd_rule(pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg, i
     return out3, (res, (xf, yf, cam19), tables[0].shape[0])
 
 
-def _regen_bwd_rule(static_cfg, interpret, resaux, ct):
+def _bwd_from_residuals(residuals, pix, soff, meta2, sky6, cts3, static_cfg,
+                        interpret, s_real):
+    """Backward kernel + MXU bucket pass over one chunk's 25 residual
+    planes.  Shared by the per-chunk custom VJP (_regen_bwd_rule) and the
+    streamed-idx path (_regen_stream_bwd_rule).  Returns
+    (d_tab [s_pad, 9] — padded sphere-table cotangent columns,
+    d_sky6 [6])."""
     from .pallas_bucket import bucket_cols_pallas
 
-    (residuals, pix, soff, meta2, sky6), (xf, yf, cam19), s_real = resaux
     (n_banks, n_samples, max_depth, width, height, t_min, t_max,
      rr_start_depth) = static_cfg
-    ctr, ctg, ctb, _ct_n = ct   # iteration counts carry no gradient
+    ctr, ctg, ctb = cts3
     rows = pix.shape[1]
     n_blocks = rows // _SUB
     b_total = residuals[0].shape[0]
@@ -601,8 +624,14 @@ def _regen_bwd_rule(static_cfg, interpret, resaux, ct):
             to_vma(jnp.zeros((s_pad, 9), jnp.float32)),
             (tuple(sl(a) for a in attr_cts), sl(idx)),
         )
-    d_tab = d_tab[:s_real]
     d_sky6 = jnp.stack([jnp.sum(a) for a in sky_parts])
+    return d_tab, d_sky6
+
+
+def _tables_from_cols(d_tab, d_sky6, pix, xf, yf, soff, meta2, cam19, s_real):
+    """Package bucketed [s_pad, 9] columns + sky partials into the custom
+    VJP's cotangent structure (shared by both regen VJPs)."""
+    d_tab = d_tab[:s_real]
 
     def f0(x):
         return np.zeros(x.shape, jax.dtypes.float0)
@@ -622,6 +651,18 @@ def _regen_bwd_rule(static_cfg, interpret, resaux, ct):
         f0(meta2),
         jnp.zeros_like(cam19),          # camera constants (not a diff leaf)
         d_tables, d_sky6,
+    )
+
+
+def _regen_bwd_rule(static_cfg, interpret, resaux, ct):
+    (residuals, pix, soff, meta2, sky6), (xf, yf, cam19), s_real = resaux
+    ctr, ctg, ctb, _ct_n = ct   # iteration counts carry no gradient
+    d_tab, d_sky6 = _bwd_from_residuals(
+        residuals, pix, soff, meta2, sky6, (ctr, ctg, ctb), static_cfg,
+        interpret, s_real,
+    )
+    return _tables_from_cols(
+        d_tab, d_sky6, pix, xf, yf, soff, meta2, cam19, s_real
     )
 
 
@@ -677,3 +718,444 @@ def render_block_grad_regen(
         # numerator).  Shaped [lanes_pad] — lanes, not pixels.
         return img, out_n.reshape(-1)
     return img
+
+
+# =============================================================================
+# Streamed-idx gradient path: scan-free re-forward (round 3).
+#
+# The chunked-remat scheme above re-runs the FULL forward (sphere scan
+# included) once per spp chunk to regenerate residuals — and the scan is
+# ~85% of that kernel.  But the scan's only contribution to the chain is
+# the winner INDEX: everything else (camera rays, bounce physics, RNG,
+# termination) is deterministic given it.  So instead:
+#
+#   phase A  one idx-only forward over ALL samples (emit_idx_only=True:
+#            the same kernel, 1 residual plane instead of 25 — ~4 bytes
+#            per lane-iteration, pixels*spp*depth*4 total);
+#   phase B  per spp chunk, a SCAN-FREE re-forward (_regen_refwd_kernel):
+#            winner attributes come from the recorded idx via a one-hot
+#            MXU contraction (~0.8 us/block-iter vs ~7.7 us for the scan,
+#            experiments/mxu_scan_probe2.py), then the unchanged backward
+#            kernel + bucket pass.
+#
+# Chunks hold whole chains (samples are chunked, never iterations), so no
+# state crosses chunk boundaries, and the radiance cotangent is the same
+# for every chunk (per-pixel sums are linear) — the remat re-forward was
+# pure waste.  Orchestrated by _regen_trace_stream below; selected by
+# render_pixel_block when chunking is active (config.grad_regen_stream).
+# =============================================================================
+
+
+def build_attr_matrix(tables):
+    """[16, S_pad] winner-attribute matrix for the one-hot MXU gather:
+    rows cx cy cz r albr albg albb mat fuzz ior, zero-padded to 16.
+
+    The NaN radius of padding slots (pad_scene_tables) must be scrubbed:
+    the gather contracts over EVERY slot and 0 * NaN = NaN.  Padding slots
+    are never selected (their idx never wins), so 0 is safe."""
+    cx, cy, cz, rad, _r2, ar, ag, ab, mat, fz, io = tables
+    z = jnp.zeros_like(cx)
+    return jnp.stack(
+        [cx, cy, cz, jnp.nan_to_num(rad), ar, ag, ab,
+         mat.astype(jnp.float32), fz, io, z, z, z, z, z, z], axis=0)
+
+
+def _gather_attrs(ta_ref, idxv, s_pad):
+    """Winner attributes by recorded index, as (a9 tuple, mat i32 tile).
+
+    One-hot MXU contraction: oh[s, r] = (s == idx[r]), attrs = TA @ oh.
+    The 0/1 one-hot picks exact table values (no rounding) under
+    Precision.HIGHEST.  idx < 0 (miss or dead lane) selects nothing; the
+    miss defaults r = 1, ior = 1 then reproduce closest_hit_scan's init
+    winner exactly (pallas_common.closest_hit_scan init tuple), keeping
+    the re-forward bit-identical to the recorded forward."""
+    idx_row = idxv.reshape(1, _SUB * _LANE)
+    sidx = jax.lax.broadcasted_iota(jnp.int32, (s_pad, _SUB * _LANE), 0)
+    oh = jnp.where(sidx == idx_row, 1.0, 0.0)
+    attrs = jax.lax.dot_general(
+        ta_ref[:], oh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    miss = idx_row < 0
+    cols = []
+    for j in range(10):
+        v = attrs[j:j + 1]
+        if j in (3, 9):   # radius / ior: scan's miss defaults are 1.0
+            v = jnp.where(miss, 1.0, v)
+        cols.append(v.reshape(_SUB, _LANE))
+    (cx, cy, cz, r, ar, ag, ab, matf, fz, io) = cols
+    return (cx, cy, cz, r, ar, ag, ab, fz, io), matf.astype(jnp.int32)
+
+
+def _regen_refwd_kernel(
+    # SMEM
+    sky_ref, cam_ref, meta_ref,
+    # VMEM inputs
+    ta_ref,                       # [16, s_pad] attr matrix (pinned)
+    pix_ref, xf_ref, yf_ref,      # (n_banks, 8, 128)
+    soff_ref,                     # (8, 128) u32
+    idx_in,                       # (_CHUNK, 8, 128) i32 recorded winners
+    # outputs: the full _N_RES residual planes, then scratch (ray state)
+    *rest,
+    s_pad: int, n_banks: int, n_samples: int, max_depth: int,
+    width: int, height: int, t_min: float, t_max: float,
+    rr_start_depth: int,
+):
+    """Scan-free re-forward: _regen_fwd_kernel with closest_hit_scan
+    replaced by the recorded winner index + the one-hot attribute gather.
+    State evolution is bit-identical to the recording forward (same
+    camera/threefry/bounce_tile ops on identical inputs; winner attributes
+    are exact table values either way), so the residual planes it emits
+    are the ones the recording forward WOULD have emitted with
+    emit_full=True — dead lanes excepted, whose stale-scan attributes the
+    backward provably ignores (cotangents are masked by idx >= 0 and the
+    carried cts across dead stretches are exactly zero)."""
+    res = rest[:_N_RES]
+    (kb_s, s_s, b_s, alive_s,
+     ox_s, oy_s, oz_s, dx_s, dy_s, dz_s, tr_s, tg_s, tb_s) = rest[_N_RES:]
+    f32 = jnp.float32
+    shape = (_SUB, _LANE)
+    k0, k1 = meta_ref[0], meta_ref[1]
+    nbank_u = jnp.uint32(n_banks)
+    nsamp_u = jnp.uint32(n_samples)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        zero = jnp.zeros(shape, f32)
+        kb_s[:] = jnp.zeros(shape, jnp.uint32)
+        s_s[:] = jnp.zeros(shape, jnp.uint32)
+        b_s[:] = jnp.zeros(shape, jnp.uint32)
+        alive_s[:] = zero
+        ox_s[:] = zero
+        oy_s[:] = zero
+        oz_s[:] = zero
+        dx_s[:] = zero
+        dy_s[:] = zero
+        dz_s[:] = jnp.ones(shape, f32)
+        tr_s[:] = jnp.ones(shape, f32)
+        tg_s[:] = jnp.ones(shape, f32)
+        tb_s[:] = jnp.ones(shape, f32)
+
+    busy = jnp.any((kb_s[:] < nbank_u) | (alive_s[:] > 0.0))
+
+    def do_chunk():
+        def body(kl, _):
+            alive = alive_s[:] > 0.0
+            kb = kb_s[:]
+            s = s_s[:]
+            b = b_s[:]
+            samp = soff_ref[:] + s
+
+            # ---- regenerate exhausted lanes (same as the fwd kernel) ----
+            regen = (~alive) & (kb < nbank_u)
+            npix, nxf, nyf = pix_ref[0], xf_ref[0], yf_ref[0]
+            for k in range(1, n_banks):
+                in_k = kb == jnp.uint32(k)
+                npix = jnp.where(in_k, pix_ref[k], npix)
+                nxf = jnp.where(in_k, xf_ref[k], nxf)
+                nyf = jnp.where(in_k, yf_ref[k], nyf)
+            c1b = samp << jnp.uint32(8)
+            w0, w1 = threefry2x32(k0, k1, npix, c1b | jnp.uint32(124))
+            jx, jy = to_unit_float(w0), to_unit_float(w1)
+            w0, w1 = threefry2x32(k0, k1, npix, c1b | jnp.uint32(125))
+            lu, lv = to_unit_float(w0), to_unit_float(w1)
+            cox, coy, coz, cdx, cdy, cdz = camera_ray_tiles(
+                cam_ref, nxf, nyf, jx, jy, lu, lv, width=width, height=height
+            )
+            rf = jnp.where(regen, 1.0, 0.0)
+            ox = jnp.where(regen, cox, ox_s[:])
+            oy = jnp.where(regen, coy, oy_s[:])
+            oz = jnp.where(regen, coz, oz_s[:])
+            dx = jnp.where(regen, cdx, dx_s[:])
+            dy = jnp.where(regen, cdy, dy_s[:])
+            dz = jnp.where(regen, cdz, dz_s[:])
+            tr = jnp.where(regen, 1.0, tr_s[:])
+            tg = jnp.where(regen, 1.0, tg_s[:])
+            tb = jnp.where(regen, 1.0, tb_s[:])
+            b = jnp.where(regen, jnp.uint32(0), b)
+            alive = alive | regen
+            pix = npix
+
+            # ---- emit the iteration's entry residuals -------------------
+            res[0][kl] = ox
+            res[1][kl] = oy
+            res[2][kl] = oz
+            res[3][kl] = dx
+            res[4][kl] = dy
+            res[5][kl] = dz
+            res[6][kl] = tr
+            res[7][kl] = tg
+            res[8][kl] = tb
+            res[9][kl] = jnp.where(alive, 1.0, 0.0)
+            res[10][kl] = rf
+            res[11][kl] = pltpu.bitcast(kb, jnp.int32)
+            res[12][kl] = pltpu.bitcast(s, jnp.int32)
+            res[13][kl] = pltpu.bitcast(b, jnp.int32)
+
+            # ---- recorded winner instead of the sphere scan --------------
+            idxv = idx_in[kl]
+            hit = idxv >= 0
+            a9, wmat = _gather_attrs(ta_ref, idxv, s_pad)
+            res[14][kl] = idxv
+            res[15][kl] = wmat
+            for j, a in enumerate(a9):
+                res[16 + j][kl] = a
+
+            u = _uniforms7_tile(k0, k1, pix, samp, b)
+            do_rr = b >= jnp.uint32(rr_start_depth)
+            sky6 = tuple(sky_ref[i] for i in range(6))
+            (no3, nd3, ntp3, _rad3, surv_f) = bounce_tile(
+                (ox, oy, oz), (dx, dy, dz), (tr, tg, tb),
+                a9, wmat, hit, alive, u, sky6, do_rr,
+                t_min=t_min, t_max=t_max, rr_on=bool(rr_start_depth),
+            )
+            b_next = b + jnp.uint32(1)
+            surv = (surv_f > 0.0) & (b_next < jnp.uint32(max_depth))
+
+            terminated = alive & ~surv
+            s_next = s + jnp.uint32(1)
+            bank_done = s_next >= nsamp_u
+            flush = terminated & bank_done
+
+            ox_s[:], oy_s[:], oz_s[:] = no3
+            dx_s[:], dy_s[:], dz_s[:] = nd3
+            tr_s[:], tg_s[:], tb_s[:] = ntp3
+            b_s[:] = jnp.where(surv, b_next, b)
+            s_s[:] = jnp.where(
+                terminated, jnp.where(bank_done, jnp.uint32(0), s_next), s
+            )
+            kb_s[:] = jnp.where(flush, kb + jnp.uint32(1), kb)
+            alive_s[:] = jnp.where(surv, 1.0, 0.0)
+            return 0
+
+        jax.lax.fori_loop(0, _CHUNK, body, 0)
+
+    def skip_chunk():
+        zero = jnp.zeros(shape, f32)
+        neg1 = jnp.full(shape, -1, jnp.int32)
+
+        def body(kl, _):
+            res[9][kl] = zero
+            res[14][kl] = neg1
+            return 0
+
+        jax.lax.fori_loop(0, _CHUNK, body, 0)
+
+    jax.lax.cond(busy, do_chunk, skip_chunk)
+
+
+def _refwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, idx_planes,
+                static_cfg, interpret):
+    """pallas_call wrapper for the scan-free re-forward: one spp chunk's
+    full _N_RES residual planes from its recorded idx planes."""
+    (n_banks, n_samples, max_depth, width, height, t_min, t_max,
+     rr_start_depth) = static_cfg
+    rows = pix.shape[1]
+    n_blocks = rows // _SUB
+    tables = pad_scene_tables(tables)
+    s_pad = tables[0].shape[0]
+    ta16 = build_attr_matrix(tables)
+    budget = n_banks * n_samples * max_depth
+    n_chunks = -(-budget // _CHUNK)
+    b_total = n_chunks * _CHUNK
+    assert idx_planes.shape[0] == b_total, (idx_planes.shape, b_total)
+
+    kernel = functools.partial(
+        _regen_refwd_kernel,
+        s_pad=s_pad, n_banks=n_banks, n_samples=n_samples,
+        max_depth=max_depth, width=width, height=height,
+        t_min=t_min, t_max=t_max, rr_start_depth=rr_start_depth,
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ta_spec = pl.BlockSpec(
+        (16, s_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+    )
+    bank_in = pl.BlockSpec(
+        (n_banks, _SUB, _LANE), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    tile_in = pl.BlockSpec((_SUB, _LANE), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    res_spec = pl.BlockSpec(
+        (_CHUNK, _SUB, _LANE), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
+    )
+    vma = vma_union(pix, soff, meta2, *tables, sky6, idx_planes)
+
+    def to_vma(x):
+        missing = vma - getattr(jax.typeof(x), "vma", frozenset())
+        return jax.lax.pcast(x, tuple(missing), to="varying") if missing else x
+
+    soff_tile = to_vma(
+        jnp.broadcast_to(jnp.asarray(soff, jnp.uint32), (rows, _LANE))
+    )
+    if vma:
+        pix, xf, yf, idx_planes, ta16, cam19 = (
+            to_vma(x) for x in (pix, xf, yf, idx_planes, ta16, cam19)
+        )
+    f32res = jax.ShapeDtypeStruct((b_total, rows, _LANE), jnp.float32, vma=vma)
+    i32res = jax.ShapeDtypeStruct((b_total, rows, _LANE), jnp.int32, vma=vma)
+    res_dtypes = [f32res] * 11 + [i32res] * 5 + [f32res] * 9
+    scratch = [pltpu.VMEM((_SUB, _LANE), jnp.uint32)] * 3 + [
+        pltpu.VMEM((_SUB, _LANE), jnp.float32)
+    ] * 10
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_blocks, n_chunks),
+        in_specs=[smem] * 3 + [ta_spec] + [bank_in] * 3 + [tile_in, res_spec],
+        out_specs=tuple([res_spec] * _N_RES),
+        out_shape=tuple(res_dtypes),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=400 * rows * _LANE * b_total,
+            bytes_accessed=4 * rows * _LANE * b_total * (_N_RES + 1),
+            transcendentals=16 * rows * _LANE * b_total,
+        ),
+        interpret=interpret,
+    )(
+        sky6, cam19, meta2, ta16,
+        pix.astype(jnp.uint32), xf, yf, soff_tile, idx_planes,
+    )
+    return tuple(outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _regen_trace_stream(pix, xf, yf, soff, meta2, cam19, tables, sky6,
+                        stream_cfg, interpret):
+    out, _ = _stream_fwd_impl(
+        pix, xf, yf, soff, meta2, cam19, tables, sky6, stream_cfg, interpret
+    )
+    return out
+
+
+def _stream_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6,
+                     stream_cfg, interpret):
+    static_cfg, n_chunks = stream_cfg
+    n_banks, chunk = static_cfg[0], static_cfg[1]
+
+    def one(c):
+        soff_c = soff + jnp.uint32(chunk) * c.astype(jnp.uint32)
+        out4, res = _regen_fwd_impl(
+            pix, xf, yf, soff_c, meta2, cam19, tables, sky6, static_cfg,
+            interpret, emit_idx_only=True,
+        )
+        return out4, res[0][0]
+
+    if n_chunks == 1:
+        out4, idx0 = one(jnp.asarray(0, jnp.int32))
+        return out4, idx0[None]
+
+    # Scan over ALL chunks so the idx planes come straight out of the scan
+    # stack — a concatenate of a separately-run first chunk doubles the idx
+    # allocation (a 3.6 GB copy at bench scale, the chunk-10 compile OOM).
+    # The zero carry must match the kernel outputs' vma under shard_map.
+    vma = vma_union(pix, soff, meta2, *tables, sky6)
+
+    def to_vma(x):
+        missing = vma - getattr(jax.typeof(x), "vma", frozenset())
+        return jax.lax.pcast(x, tuple(missing), to="varying") if missing else x
+
+    rows = pix.shape[1]
+    carry0 = (
+        to_vma(jnp.zeros((n_banks, rows, _LANE), jnp.float32)),
+        to_vma(jnp.zeros((n_banks, rows, _LANE), jnp.float32)),
+        to_vma(jnp.zeros((n_banks, rows, _LANE), jnp.float32)),
+        to_vma(jnp.zeros((rows, _LANE), jnp.float32)),
+    )
+
+    def step(carry, c):
+        o4, idx_c = one(c)
+        return tuple(a + b for a, b in zip(carry, o4)), idx_c
+
+    out4, idxs = jax.lax.scan(
+        step, carry0, jnp.arange(n_chunks, dtype=jnp.int32)
+    )
+    return out4, idxs
+
+
+def _regen_stream_fwd_rule(pix, xf, yf, soff, meta2, cam19, tables, sky6,
+                           stream_cfg, interpret):
+    out4, idxs = _stream_fwd_impl(
+        pix, xf, yf, soff, meta2, cam19, tables, sky6, stream_cfg, interpret
+    )
+    return out4, (idxs, pix, xf, yf, soff, meta2, cam19, tables, sky6,
+                  tables[0].shape[0])
+
+
+def _regen_stream_bwd_rule(stream_cfg, interpret, resaux, ct):
+    (idxs, pix, xf, yf, soff, meta2, cam19, tables, sky6, s_real) = resaux
+    static_cfg, n_chunks = stream_cfg
+    chunk = static_cfg[1]
+    ctr, ctg, ctb, _ct_n = ct
+    s_pad = -(-s_real // 16) * 16
+    vma = vma_union(ctr, pix, idxs, *tables)
+
+    def to_vma(x):
+        missing = vma - getattr(jax.typeof(x), "vma", frozenset())
+        return jax.lax.pcast(x, tuple(missing), to="varying") if missing else x
+
+    def step(carry, xs):
+        idx_c, c = xs
+        soff_c = soff + jnp.uint32(chunk) * c.astype(jnp.uint32)
+        res25 = _refwd_impl(
+            pix, xf, yf, soff_c, meta2, cam19, tables, sky6, idx_c,
+            static_cfg, interpret,
+        )
+        d_tab, d_sky = _bwd_from_residuals(
+            res25, pix, soff_c, meta2, sky6, (ctr, ctg, ctb), static_cfg,
+            interpret, s_real,
+        )
+        return (carry[0] + d_tab, carry[1] + d_sky), None
+
+    init = (
+        to_vma(jnp.zeros((s_pad, 9), jnp.float32)),
+        to_vma(jnp.zeros((6,), jnp.float32)),
+    )
+    (d_tab, d_sky6), _ = jax.lax.scan(
+        step, init, (idxs, jnp.arange(n_chunks, dtype=jnp.int32))
+    )
+    return _tables_from_cols(
+        d_tab, d_sky6, pix, xf, yf, soff, meta2, cam19, s_real
+    )
+
+
+_regen_trace_stream.defvjp(_regen_stream_fwd_rule, _regen_stream_bwd_rule)
+
+
+def render_block_grad_regen_stream(
+    scene, camera, config, key, pixel_ids, sample_offset, n_samples, chunk,
+    n_banks=None,
+):
+    """Differentiable per-pixel radiance SUM over ``n_samples`` via the
+    streamed-idx scheme: one idx-only forward over all samples, then (under
+    autodiff) a scan-free re-forward + backward per ``chunk``-sample group.
+    Peak residual memory is one chunk's 25 planes plus the idx planes for
+    every sample (4 B per lane-iteration) — the remat re-forward and its
+    sphere scans are gone.  Radiance (and therefore the loss) is
+    bit-identical to the chunked render_block_grad_regen path: phase A runs
+    the same forward kernel code.  Requires n_samples % chunk == 0."""
+    from ..render import _persistent_args
+
+    assert n_samples % chunk == 0, (n_samples, chunk)
+    if n_banks is None:
+        n_banks = DEFAULT_BANKS
+    n_banks, n_lanes, rows, pix, xf, yf, unbank = banked_lane_layout(
+        pixel_ids, config.width, n_banks
+    )
+    tables, sky6, cam19, kd = _persistent_args(scene, camera, config, key)
+    cam19 = jax.lax.stop_gradient(cam19)
+    tables = tuple(
+        jax.lax.stop_gradient(t) if i == 4 else t for i, t in enumerate(tables)
+    )
+    meta2 = jnp.asarray(kd, jnp.uint32).reshape(2)
+    static_cfg = (
+        n_banks, int(chunk), int(config.max_depth),
+        int(config.width), int(config.height),
+        float(config.t_min), float(config.t_max),
+        int(config.rr_start_depth),
+    )
+    stream_cfg = (static_cfg, int(n_samples) // int(chunk))
+    out_r, out_g, out_b, _out_n = _regen_trace_stream(
+        pix, xf, yf, jnp.asarray(sample_offset, jnp.uint32), meta2, cam19,
+        tables, sky6, stream_cfg, bool(config.pallas_interpret),
+    )
+    return jnp.stack([unbank(out_r), unbank(out_g), unbank(out_b)], axis=-1)

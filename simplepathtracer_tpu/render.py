@@ -117,6 +117,10 @@ _GRAD_RAY_BUDGET = 2_000_000
 # experiments/regen_sustained_bench.py; 48M picks chunk 5, one step back
 # from the HBM ceiling chunk 10 would sit at).
 _GRAD_ITER_BUDGET_REGEN = 48_000_000
+# idx-plane bytes the streamed-idx gradient path may keep across ALL spp
+# (render_pixel_block): 6 GB leaves headroom for one chunk's 25 residual +
+# 9 cotangent planes (~6.5 GB at the default chunk) on a 15.75 GB v5e.
+_IDX_PLANE_BUDGET = 6 << 30
 
 
 def grad_safe_config(config: RenderConfig) -> RenderConfig:
@@ -540,6 +544,27 @@ def render_pixel_block(scene, camera, config, key, pixel_ids, sample_offset, n_s
         # not divide.  Use the largest divisor that fits.
         chunk = next(c for c in range(chunk, 0, -1) if n_samples % c == 0)
     n_steps = n_samples // chunk
+
+    if (
+        use_regen
+        and n_steps > 1
+        and config.grad_regen_stream
+        # idx-plane capacity: 4 B per lane-iteration over ALL samples (the
+        # winner-index record phase A keeps for phase B's scan-free
+        # re-forwards).  Past this, fall back to chunked remat below.
+        and 4 * p * n_samples * config.max_depth <= _IDX_PLANE_BUDGET
+    ):
+        # Streamed-idx gradient path: one idx-only forward over all
+        # samples, then per-chunk scan-free re-forward + backward — the
+        # remat re-forward's sphere scans (~85% of its cost) are gone.
+        # Radiance is bit-identical to the chunked path (same forward
+        # kernel code, same accumulation order).
+        from .ops.pallas_grad_regen import render_block_grad_regen_stream
+
+        return render_block_grad_regen_stream(
+            scene, camera, config, key, pixel_ids, sample_offset,
+            n_samples, chunk, n_banks=config.grad_regen_banks or None,
+        )
 
     def step(acc, i):
         off = sample_offset + i * chunk

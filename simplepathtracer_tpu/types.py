@@ -176,6 +176,13 @@ class RenderConfig:
     # banks * spp_chunk; the block-straggler tail shrinks ~1/sqrt(chains)
     # while the bank-select cost grows O(banks)).  0 = module default.
     grad_regen_banks: int = 0
+    # Streamed-idx gradients: when spp chunking is active on the regen
+    # path, record only the winner-index plane during the forward and
+    # replace each remat re-forward with a scan-free replay (recorded idx
+    # + one-hot MXU attribute gather) — the sphere scan is ~85% of the
+    # re-forward it eliminates.  Falls back to chunked remat when the idx
+    # planes for all spp would exceed the memory budget.
+    grad_regen_stream: bool = True
     pallas_interpret: bool = False  # run the kernels interpreted (CPU tests)
     # Soft-silhouette blend width for the first bounce (0 = hard edges).
     # Used by inverse rendering to recover geometry gradients at visibility

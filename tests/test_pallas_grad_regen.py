@@ -214,3 +214,58 @@ def test_regen_bench_like_depth10():
     d = np.abs(img_j - img_r)
     assert d.mean() < 1e-4, d.mean()
     assert (d > 1e-2).mean() < 1e-3, (d > 1e-2).mean()
+
+
+def test_stream_matches_chunked_remat():
+    """The streamed-idx path (grad_regen_stream, the default when spp
+    chunking is active) must reproduce the chunked-remat path's loss
+    exactly (identical forward kernel code) and its gradients to fp
+    accumulation tolerance (same per-chunk backward, same bucket order)."""
+    scene, cam, cfg, key = _setup(width=32, height=16, spp=6, depth=5,
+                                  spp_chunk=2)
+    target = jnp.full((cfg.height, cfg.width, 3), 0.25, jnp.float32)
+    l_s, g_s = _grads(scene, cam, _regen(cfg), key, target)
+    l_c, g_c = _grads(
+        scene, cam, _regen(cfg).replace(grad_regen_stream=False), key, target
+    )
+    assert float(l_s) == float(l_c), (float(l_s), float(l_c))
+    for k in g_s:
+        a, b = np.asarray(g_c[k]), np.asarray(g_s[k])
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-7, err_msg=k)
+
+
+def test_stream_sharded_train_step():
+    """Streamed-idx inside shard_map (chunked spp on the samples axis)."""
+    from simplepathtracer_tpu.parallel import make_mesh
+    from simplepathtracer_tpu.parallel.sharding import loss_and_grad_sharded
+
+    scene, cam, cfg, key = _setup(width=32, height=16, spp=8, depth=4,
+                                  spp_chunk=2)
+    target = jnp.full((cfg.height, cfg.width, 3), 0.25, jnp.float32)
+    mesh = make_mesh(tiles=2, samples=2, devices=jax.devices()[:4])
+    cfg_r = _regen(cfg)
+    loss_s, grads_s = jax.jit(
+        lambda s, t, c, k: loss_and_grad_sharded(s, t, c, cfg_r, k, mesh)
+    )(scene, target, cam, key)
+    params, static_scene = inverse.split_params(scene)
+    loss_j, grads_j = jax.value_and_grad(inverse.pixel_loss)(
+        params, static_scene, target, cam, cfg, key
+    )
+    np.testing.assert_allclose(float(loss_s), float(loss_j), rtol=1e-5)
+    for k in grads_j:
+        a, b = np.asarray(grads_j[k]), np.asarray(grads_s[k])
+        np.testing.assert_allclose(b, a, rtol=5e-3, atol=5e-6, err_msg=k)
+
+
+def test_stream_russian_roulette_grads():
+    """RR termination is part of the replayed state machine: streamed
+    gradients must still match the jnp bounce with rr_start_depth set."""
+    scene, cam, cfg, key = _setup(spp=4, depth=6, rr_start_depth=2,
+                                  spp_chunk=2)
+    target = jnp.full((cfg.height, cfg.width, 3), 0.25, jnp.float32)
+    l_j, g_j = _grads(scene, cam, cfg, key, target)
+    l_s, g_s = _grads(scene, cam, _regen(cfg), key, target)
+    np.testing.assert_allclose(float(l_j), float(l_s), rtol=1e-6)
+    for k in g_j:
+        a, b = np.asarray(g_j[k]), np.asarray(g_s[k])
+        np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-6, err_msg=k)

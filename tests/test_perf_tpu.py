@@ -7,8 +7,8 @@ they skip there); execute manually or from a TPU-attached session with:
 
 Thresholds sit at ~0.7x the round-3 driver-verified numbers (BENCH_r03:
 fwd 43.9 Mpaths/s no-RR, 54.9 with Russian roulette, per-bounce fwd+bwd
-11.0 at 8 spp/dispatch, regen fwd+bwd 22.2, sustained 100-spp preset 13.6
-via the regen default) so they catch real regressions, not machine
+11.0 at 8 spp/dispatch, regen fwd+bwd 22.2, sustained 100-spp preset 20.2
+via the streamed-idx default) so they catch real regressions, not machine
 variance.  All north-star metrics are guarded; round 2's guard was a
 stale 15M fwd floor that a 3x regression would have passed (VERDICT r2
 weak #3).
@@ -29,7 +29,9 @@ MIN_FWD_PATHS_PER_SEC = 30e6      # measured 43.9M on v5e (adaptive balancing)
 MIN_FWD_RR_PATHS_PER_SEC = 38e6   # measured 54.9M with rr_start_depth=2
 MIN_FWD_BWD_PATHS_PER_SEC = 7e6   # measured 11.0M (per-bounce, 8 spp/dispatch)
 MIN_FWD_BWD_REGEN_PATHS_PER_SEC = 15e6   # measured 22.2M (regen, 8 spp)
-MIN_FWD_BWD_SUSTAINED_PATHS_PER_SEC = 9e6  # measured 13.6M (100-spp preset)
+MIN_FWD_BWD_SUSTAINED_PATHS_PER_SEC = 14e6  # measured 20.2M (100-spp preset,
+#   streamed-idx path: idx-only forward + scan-free re-forward per chunk;
+#   the chunked-remat fallback measured 13.6M)
 
 pytestmark = pytest.mark.skipif(
     jax.devices()[0].platform == "cpu" and not os.environ.get("JAX_REQUIRE_TPU_PERF"),
