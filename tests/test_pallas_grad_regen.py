@@ -269,3 +269,23 @@ def test_stream_russian_roulette_grads():
     for k in g_j:
         a, b = np.asarray(g_j[k]), np.asarray(g_s[k])
         np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-6, err_msg=k)
+
+
+def test_stream_capacity_fallback(monkeypatch):
+    """Past the idx-plane memory budget the stream path must fall back to
+    chunked remat transparently (same loss, same gradients)."""
+    import sys
+
+    render_mod = sys.modules["simplepathtracer_tpu.render"]
+    scene, cam, cfg, key = _setup(width=32, height=16, spp=4, depth=4,
+                                  spp_chunk=2)
+    target = jnp.full((cfg.height, cfg.width, 3), 0.25, jnp.float32)
+    l_s, g_s = _grads(scene, cam, _regen(cfg), key, target)
+    monkeypatch.setattr(render_mod, "_IDX_PLANE_BUDGET", 0)
+    l_f, g_f = _grads(scene, cam, _regen(cfg), key, target)
+    assert float(l_s) == float(l_f)
+    for k in g_s:
+        np.testing.assert_allclose(
+            np.asarray(g_f[k]), np.asarray(g_s[k]), rtol=1e-5, atol=1e-7,
+            err_msg=k,
+        )
