@@ -86,11 +86,18 @@ def cpu_baseline_paths_per_sec():
             ["make", "-C", os.path.join(REPO, "native"), "cpu_baseline"],
             check=True, capture_output=True,
         )
-    out = subprocess.run(
-        [exe, "300", "200", "16", str(DEPTH)],
-        check=True, capture_output=True, text=True,
-    ).stdout
-    return json.loads(out.strip().splitlines()[-1])
+    # Best of two runs: a single ~2 s measurement is noisy enough (±25%
+    # observed across driver runs) to wobble every vs_baseline column.
+    best = None
+    for _ in range(2):
+        out = subprocess.run(
+            [exe, "300", "200", "16", str(DEPTH)],
+            check=True, capture_output=True, text=True,
+        ).stdout
+        r = json.loads(out.strip().splitlines()[-1])
+        if best is None or r["paths_per_sec"] > best["paths_per_sec"]:
+            best = r
+    return best
 
 
 def probe_backend(timeout_s=PROBE_TIMEOUT_S):

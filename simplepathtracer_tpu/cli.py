@@ -160,7 +160,8 @@ def _invert_preset(args) -> int:
     )
     recovered, losses = inverse.fit(
         perturbed, target, camera, config, key, steps=args.steps, lr=args.lr,
-        leaves=("albedo",), param_mask=mask, callback=cb, **snap_kw,
+        leaves=("albedo",), param_mask=mask, callback=cb,
+        balance=getattr(args, "balance", False), **snap_kw,
     )
     err1_mean, err1_max = albedo_err(recovered)
     after = inverse.render_linear(recovered, camera, rcfg, key)
@@ -323,6 +324,12 @@ def main(argv=None) -> int:
              "PATH.centers.npz; resumes from them if present)",
     )
     i.add_argument("--snapshot-every", dest="snapshot_every", type=int, default=10)
+    i.add_argument(
+        "--balance", action="store_true",
+        help="probe per-pixel cost once and fit in cost-balanced pixel "
+             "order (evens the banked gradient kernels' lane work; values "
+             "are unchanged — randomness is keyed by global pixel id)",
+    )
     i.add_argument("-o", "--output", default=None)
     i.add_argument("-q", "--quiet", action="store_true")
     i.set_defaults(fn=cmd_invert)

@@ -632,7 +632,12 @@ def balanced_pixel_perm(scene, camera, config, key, probe_spp=2):
     """
     pixel_ids = jnp.arange(config.num_pixels, dtype=jnp.int32)
     pcfg = config.replace(
-        use_pallas=True, use_pallas_grad=False, use_pallas_hits=False
+        use_pallas=True, use_pallas_grad=False, use_pallas_hits=False,
+        # The probe itself must run somewhere: interpret on CPU backends
+        # (e.g. `spt-render invert --balance` off-chip) instead of failing.
+        pallas_interpret=(
+            config.pallas_interpret or jax.default_backend() != "tpu"
+        ),
     )
     _, counts = _render_block_pallas(
         scene, camera, pcfg, key, pixel_ids, 0, probe_spp, return_counts=True
