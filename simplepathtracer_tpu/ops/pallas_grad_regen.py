@@ -68,8 +68,23 @@ from .pallas_common import (
 from .pallas_grad import bounce_tile
 
 _BLOCK = _SUB * _LANE
-_CHUNK = 8          # iterations per sequential grid step (residual streaming)
+# Iterations per sequential grid step (residual streaming).  A multiple of
+# _IDX_PACK so the streamed-idx planes pack a whole number of words per
+# step (9 was measured perf-neutral vs the round-3 value 8 — the per-step
+# VMEM window grows 12.5%, well inside budget).
+_CHUNK = 9
 DEFAULT_BANKS = 8   # pixels per lane (chains/lane = banks * n_samples)
+
+# Streamed-idx plane packing: 3 winner indices per i32 word, 10 bits each
+# (idx+1 in [0, s_pad]; 0 = miss/dead).  Triples the spp the streamed
+# gradient path can hold idx planes for — at the 1200x800@depth-10 bench
+# shape that moves the capacity wall from ~167 spp to ~500 spp, covering
+# the BASELINE 500-spp north-star workload directly (render.py gate).
+_IDX_PACK = 3
+_IDX_BITS = 10
+_IDX_MASK = (1 << _IDX_BITS) - 1
+# Largest sphere count whose 16-padded table still fits a 10-bit idx+1.
+IDX_PACK_MAX_SPHERES = ((_IDX_MASK - 1) // 16) * 16
 
 # Residual plane order (each (B, rows, 128)):
 #   0-2  entry origin   3-5  entry direction   6-8  entry throughput
@@ -162,7 +177,7 @@ def _regen_fwd_kernel(
     busy = jnp.any((kb_s[:] < nbank_u) | (alive_s[:] > 0.0))
 
     def do_chunk():
-        def body(kl, _):
+        def body(kl, word):
             alive = alive_s[:] > 0.0
             kb = kb_s[:]
             s = s_s[:]
@@ -227,7 +242,21 @@ def _regen_fwd_kernel(
             (t_scan, bi, wcx, wcy, wcz, wr, war, wag, wab, wmat, wfz, wio) = winner
             del t_scan
             hit = bi >= 0
-            idx_out[kl] = jnp.where(alive & hit, bi, -1)
+            idx_masked = jnp.where(alive & hit, bi, -1)
+            if emit_full:
+                idx_out[kl] = idx_masked
+            else:
+                # Pack idx+1 (10 bits, 0 = miss/dead) into word field kl % 3;
+                # every iteration overwrites the word's plane (last of the 3
+                # wins), so no conditional store is needed.  Field selection
+                # by i32 multiply — Mosaic has no variable-amount tile shift.
+                field = kl % _IDX_PACK
+                factor = jnp.where(
+                    field == 0, 1, jnp.where(field == 1, 1 << _IDX_BITS, 1 << (2 * _IDX_BITS))
+                )
+                first = (jnp.zeros(shape, jnp.int32) + field) == 0
+                word = jnp.where(first, idx_masked + 1, word + (idx_masked + 1) * factor)
+                idx_out[kl // _IDX_PACK] = word
             a9 = (wcx, wcy, wcz, wr, war, wag, wab, wfz, wio)
             if emit_full:
                 res[15][kl] = wmat
@@ -275,24 +304,28 @@ def _regen_fwd_kernel(
             )
             kb_s[:] = jnp.where(flush, kb + jnp.uint32(1), kb)
             alive_s[:] = jnp.where(surv, 1.0, 0.0)
-            return 0
+            return word
 
-        jax.lax.fori_loop(0, _CHUNK, body, 0)
+        jax.lax.fori_loop(0, _CHUNK, body, jnp.zeros(shape, jnp.int32))
 
     def skip_chunk():
         # Fully-finished block: mark the chunk's iterations dead so the
         # backward pass and the bucket kernel skip them (their other
         # residual planes are never read when alive == 0 / idx == -1).
         zero = jnp.zeros(shape, f32)
-        neg1 = jnp.full(shape, -1, jnp.int32)
+        if emit_full:
+            neg1 = jnp.full(shape, -1, jnp.int32)
 
-        def body(kl, _):
-            if emit_full:
+            def body(kl, _):
                 res[9][kl] = zero
-            idx_out[kl] = neg1
-            return 0
+                idx_out[kl] = neg1
+                return 0
 
-        jax.lax.fori_loop(0, _CHUNK, body, 0)
+            jax.lax.fori_loop(0, _CHUNK, body, 0)
+        else:
+            # Packed planes: every 10-bit field 0 decodes to idx -1.
+            for w in range(_CHUNK // _IDX_PACK):
+                idx_out[w] = jnp.zeros(shape, jnp.int32)
 
     jax.lax.cond(busy, do_chunk, skip_chunk)
 
@@ -457,6 +490,10 @@ def _regen_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg,
     res_out = pl.BlockSpec(
         (_CHUNK, _SUB, _LANE), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
     )
+    packed_out = pl.BlockSpec(
+        (_CHUNK // _IDX_PACK, _SUB, _LANE), lambda i, j: (j, i, 0),
+        memory_space=pltpu.VMEM,
+    )
     vma = vma_union(pix, soff, meta2, *tables, sky6)
 
     def to_vma(x):
@@ -473,9 +510,13 @@ def _regen_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg,
     f32res = jax.ShapeDtypeStruct((b_total, rows, _LANE), jnp.float32, vma=vma)
     i32res = jax.ShapeDtypeStruct((b_total, rows, _LANE), jnp.int32, vma=vma)
     if emit_idx_only:
-        res_dtypes = [i32res]
+        res_dtypes = [jax.ShapeDtypeStruct(
+            (b_total // _IDX_PACK, rows, _LANE), jnp.int32, vma=vma
+        )]
+        res_specs = [packed_out]
     else:
         res_dtypes = [f32res] * 11 + [i32res] * 5 + [f32res] * 9
+        res_specs = [res_out] * n_res
     scratch = [pltpu.VMEM((_SUB, _LANE), jnp.uint32)] * 3 + [
         pltpu.VMEM((_SUB, _LANE), jnp.float32)
     ] * 13
@@ -484,7 +525,7 @@ def _regen_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg,
         kernel,
         grid=(n_blocks, n_chunks),
         in_specs=[smem] * 14 + [bank_in] * 3 + [tile_in],
-        out_specs=tuple([bank_out] * 3 + [lane_out] + [res_out] * n_res),
+        out_specs=tuple([bank_out] * 3 + [lane_out] + res_specs),
         out_shape=tuple([bank_sds] * 3 + [lane_sds] + res_dtypes),
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
@@ -894,7 +935,16 @@ def _regen_refwd_kernel(
             res[13][kl] = pltpu.bitcast(b, jnp.int32)
 
             # ---- recorded winner instead of the sphere scan --------------
-            idxv = idx_in[kl]
+            # Unpack field kl % 3 of the packed idx word (constant-amount
+            # shifts + selects; Mosaic has no variable-amount tile shift).
+            word = idx_in[kl // _IDX_PACK]
+            f0 = word & _IDX_MASK
+            f1 = (word >> _IDX_BITS) & _IDX_MASK
+            f2 = (word >> (2 * _IDX_BITS)) & _IDX_MASK
+            fieldt = jnp.zeros(shape, jnp.int32) + (kl % _IDX_PACK)
+            idxv = jnp.where(
+                fieldt == 0, f0, jnp.where(fieldt == 1, f1, f2)
+            ) - 1
             hit = idxv >= 0
             a9, wmat = _gather_attrs(ta_ref, idxv, s_pad)
             res[14][kl] = idxv
@@ -959,7 +1009,7 @@ def _refwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, idx_planes,
     budget = n_banks * n_samples * max_depth
     n_chunks = -(-budget // _CHUNK)
     b_total = n_chunks * _CHUNK
-    assert idx_planes.shape[0] == b_total, (idx_planes.shape, b_total)
+    assert idx_planes.shape[0] == b_total // _IDX_PACK, (idx_planes.shape, b_total)
 
     kernel = functools.partial(
         _regen_refwd_kernel,
@@ -977,6 +1027,10 @@ def _refwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, idx_planes,
     tile_in = pl.BlockSpec((_SUB, _LANE), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
     res_spec = pl.BlockSpec(
         (_CHUNK, _SUB, _LANE), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
+    )
+    packed_spec = pl.BlockSpec(
+        (_CHUNK // _IDX_PACK, _SUB, _LANE), lambda i, j: (j, i, 0),
+        memory_space=pltpu.VMEM,
     )
     vma = vma_union(pix, soff, meta2, *tables, sky6, idx_planes)
 
@@ -1001,7 +1055,7 @@ def _refwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, idx_planes,
     outs = pl.pallas_call(
         kernel,
         grid=(n_blocks, n_chunks),
-        in_specs=[smem] * 3 + [ta_spec] + [bank_in] * 3 + [tile_in, res_spec],
+        in_specs=[smem] * 3 + [ta_spec] + [bank_in] * 3 + [tile_in, packed_spec],
         out_specs=tuple([res_spec] * _N_RES),
         out_shape=tuple(res_dtypes),
         scratch_shapes=scratch,

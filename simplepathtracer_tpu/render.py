@@ -120,6 +120,10 @@ _GRAD_ITER_BUDGET_REGEN = 48_000_000
 # idx-plane bytes the streamed-idx gradient path may keep across ALL spp
 # (render_pixel_block): 6 GB leaves headroom for one chunk's 25 residual +
 # 9 cotangent planes (~6.5 GB at the default chunk) on a 15.75 GB v5e.
+# Since round 4 the planes pack 3 winner indices per i32 word (10 bits
+# each, ops/pallas_grad_regen._IDX_PACK), so the spp this budget covers is
+# 3x round 3's: ~500 spp at the 1200x800@depth-10 bench shape — the
+# BASELINE 500-spp north-star workload runs streamed, no fallback.
 _IDX_PLANE_BUDGET = 6 << 30
 
 
@@ -545,15 +549,26 @@ def render_pixel_block(scene, camera, config, key, pixel_ids, sample_offset, n_s
         chunk = next(c for c in range(chunk, 0, -1) if n_samples % c == 0)
     n_steps = n_samples // chunk
 
-    if (
-        use_regen
-        and n_steps > 1
-        and config.grad_regen_stream
-        # idx-plane capacity: 4 B per lane-iteration over ALL samples (the
-        # winner-index record phase A keeps for phase B's scan-free
-        # re-forwards).  Past this, fall back to chunked remat below.
-        and 4 * p * n_samples * config.max_depth <= _IDX_PLANE_BUDGET
-    ):
+    if use_regen and n_steps > 1 and config.grad_regen_stream:
+        from .ops.pallas_grad_regen import IDX_PACK_MAX_SPHERES, _IDX_PACK
+
+        stream_fits = (
+            # idx-plane capacity: 4 B per _IDX_PACK lane-iterations over ALL
+            # samples (the winner-index record phase A keeps for phase B's
+            # scan-free re-forwards).  Past this, fall back to chunked remat
+            # below — measured the right call: any beyond-capacity schedule
+            # must forward every sample twice (loss pass + idx-record pass),
+            # and remat's re-forward (13.6 M sustained) beats both the
+            # checkpointed stream (2x phase A + B ~ 12.8 M) and a pure-fwd +
+            # per-group stream (~12.6 M) at bench scale (BASELINE.md r4).
+            4 * p * n_samples * config.max_depth
+            <= _IDX_PACK * _IDX_PLANE_BUDGET
+            # 10-bit packed idx+1 must hold every padded sphere slot.
+            and scene.num_spheres <= IDX_PACK_MAX_SPHERES
+        )
+    else:
+        stream_fits = False
+    if stream_fits:
         # Streamed-idx gradient path: one idx-only forward over all
         # samples, then per-chunk scan-free re-forward + backward — the
         # remat re-forward's sphere scans (~85% of its cost) are gone.

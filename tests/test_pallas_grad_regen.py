@@ -289,3 +289,95 @@ def test_stream_capacity_fallback(monkeypatch):
             np.asarray(g_f[k]), np.asarray(g_s[k]), rtol=1e-5, atol=1e-7,
             err_msg=k,
         )
+
+
+def test_stream_packed_capacity_engages(monkeypatch):
+    """Round-4 idx packing (3 x 10-bit winners per i32 word) triples the
+    streamed path's spp capacity: with a budget between the packed and the
+    round-3 unpacked plane size, the stream path must ENGAGE (not fall back
+    to remat) and still match the remat gradients.  This is the small-scale
+    proxy for the 500-spp north-star workload, which exceeds the round-3
+    gate (spp <= ~167 at bench shape) but fits packed (~500)."""
+    import sys
+
+    from simplepathtracer_tpu.ops import pallas_grad_regen as regen_mod
+
+    render_mod = sys.modules["simplepathtracer_tpu.render"]
+    scene, cam, cfg, key = _setup(width=32, height=16, spp=6, depth=5,
+                                  spp_chunk=2)
+    p = cfg.num_pixels
+    unpacked = 4 * p * cfg.spp * cfg.max_depth
+    # Budget exactly the PACKED plane size: the round-3 unpacked gate
+    # (bytes <= budget) would reject, the packed gate (bytes <= 3 * budget)
+    # accepts.
+    assert regen_mod._IDX_PACK == 3
+    monkeypatch.setattr(render_mod, "_IDX_PLANE_BUDGET", unpacked // 3)
+
+    calls = []
+    orig = regen_mod.render_block_grad_regen_stream
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(regen_mod, "render_block_grad_regen_stream", spy)
+    # render.py imports the symbol lazily inside render_pixel_block, so the
+    # module-attr patch on regen_mod is the one that intercepts.
+    target = jnp.full((cfg.height, cfg.width, 3), 0.25, jnp.float32)
+    l_s, g_s = _grads(scene, cam, _regen(cfg), key, target)
+    assert calls, "stream path did not engage at packed-capacity shape"
+    l_c, g_c = _grads(
+        scene, cam, _regen(cfg).replace(grad_regen_stream=False), key, target
+    )
+    assert float(l_s) == float(l_c)
+    for k in g_s:
+        np.testing.assert_allclose(
+            np.asarray(g_c[k]), np.asarray(g_s[k]), rtol=1e-5, atol=1e-7,
+            err_msg=k,
+        )
+
+
+def test_stream_idx_above_8bit():
+    """Winner indices above 255 must survive the 10-bit pack/unpack: a
+    ~484-sphere cover scene exercises high idx fields (a width bug would
+    corrupt every high-index winner's replayed attributes)."""
+    from simplepathtracer_tpu.scenes import compact_scene
+
+    scene = compact_scene(spt.cover_scene(jax.random.PRNGKey(0), max_spheres=512))
+    assert scene.num_spheres > 255
+    cam = spt.make_camera(
+        origin=(13.0, 2.0, 3.0), lookat=(0.0, 0.0, 0.0), vfov_deg=20.0,
+        aperture=0.1, focus_dist=10.0,
+    )
+    cfg = spt.RenderConfig(width=16, height=8, spp=4, max_depth=3,
+                           spp_chunk=2)
+    key = jax.random.PRNGKey(5)
+    target = jnp.full((cfg.height, cfg.width, 3), 0.25, jnp.float32)
+    # Reference: a checkpoint-FREE python-loop over the same regen chunk
+    # calls.  (The production remat path wraps chunks in jax.checkpoint,
+    # whose replayed forward can flip knife-edge winners at a 484-sphere
+    # scene — XLA refuses the identical fusion in the remat context —
+    # shifting gradient mass between near-twin spheres.  The streamed path
+    # replays RECORDED winners, so it matches the un-rematerialized
+    # gradients exactly; asserting that is the stronger check.)
+    from simplepathtracer_tpu.ops import pallas_grad_regen as regen_mod
+
+    pids = jnp.arange(cfg.num_pixels, dtype=jnp.int32)
+    params, static_scene = inverse.split_params(scene)
+
+    def loss_loop(params):
+        s = scene.replace(**params)
+        rcfg = _regen(cfg)
+        acc = sum(
+            regen_mod.render_block_grad_regen(s, cam, rcfg, key, pids, off, 2)
+            for off in range(0, cfg.spp, 2)
+        )
+        img = (acc / cfg.spp).reshape(cfg.height, cfg.width, 3)
+        return jnp.mean((img - target) ** 2)
+
+    l_s, g_s = _grads(scene, cam, _regen(cfg), key, target)
+    l_c, g_c = jax.value_and_grad(loss_loop)(params)
+    assert float(l_s) == float(l_c), (float(l_s), float(l_c))
+    for k in g_s:
+        a, b = np.asarray(g_c[k]), np.asarray(g_s[k])
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-7, err_msg=k)
