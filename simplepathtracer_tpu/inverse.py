@@ -27,11 +27,21 @@ from .render import grad_safe_config, render_sample_batch
 from .types import Camera, RenderConfig, Scene
 
 # Leaves that receive gradients (same set as parallel/sharding.py).
-DIFF_LEAVES = ("centers", "radii", "albedo", "fuzz", "ior", "sky_lo", "sky_hi")
+# ``plane`` is the optional [7] ground plane (None on sphere-only scenes —
+# None is an empty pytree, so it is harmless in params dicts/optimizers);
+# only its offset + albedo (entries 3:7) receive gradients, the unit
+# normal is structurally detached in every path.
+DIFF_LEAVES = (
+    "centers", "radii", "albedo", "fuzz", "ior", "sky_lo", "sky_hi", "plane",
+)
 
 
 def split_params(scene: Scene, leaves=DIFF_LEAVES):
-    params = {k: getattr(scene, k) for k in leaves}
+    # Leaves the scene doesn't carry (plane=None on sphere-only scenes) are
+    # dropped so params dicts stay pure-array pytrees everywhere.
+    params = {
+        k: v for k in leaves if (v := getattr(scene, k)) is not None
+    }
     return params, scene
 
 
@@ -183,7 +193,7 @@ def fit(
     opt = make_optimizer(lr)
     params, static_scene = split_params(scene_init, leaves)
     opt_state = opt.init(params)
-    if softness and any(k in leaves for k in ("centers", "radii")):
+    if softness and any(k in leaves for k in ("centers", "radii", "plane")):
         config = config.replace(silhouette_softness=float(softness))
     # Forward-only Pallas presets downgrade to the differentiable path; on
     # TPU, accelerate gradients with the fused Pallas fwd+bwd bounce

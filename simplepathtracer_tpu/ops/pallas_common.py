@@ -221,7 +221,8 @@ def banked_lane_layout(pixel_ids, width, n_banks):
     )
 
 
-def plane_override(plane_ref, winner, ox, oy, oz, dx, dy, dz, *, t_min: float):
+def plane_override(plane_ref, winner, ox, oy, oz, dx, dy, dz, *, t_min: float,
+                   hit_code: int = 1 << 20, encode_params: bool = False):
     """Merge an optional Lambertian ground plane into the scan winner.
 
     ``plane_ref``: f32[7] SMEM (unit normal xyz, offset k, albedo rgb) —
@@ -231,8 +232,12 @@ def plane_override(plane_ref, winner, ox, oy, oz, dx, dy, dz, *, t_min: float):
     SPHERE tangent at the hit point (center = point - face_normal, r = 1),
     so the downstream hit_point_normal recovers exactly the face-forward
     plane normal with zero extra kernel code; attributes become the plane's
-    (Lambertian, fuzz 0).  index is set to 1<<20 — any non-negative value
-    reads as "hit"; nothing indexes tables with it.  Costs ~one sphere of
+    (Lambertian, fuzz 0).  index is set to ``hit_code`` (default
+    1<<20) — any non-negative value reads as "hit"; the forward kernels
+    never index tables with it, and the regen gradient kernels pass their
+    10-bit-packable plane code (pallas_grad_regen.PLANE_IDX) so the bucket
+    one-hot skips plane lanes and the streamed replay can recompute the
+    virtual winner.  Costs ~one sphere of
     VPU work per iteration and is only EMITTED when the scene has a plane
     (static use_plane flags in the kernel wrappers).
 
@@ -252,11 +257,22 @@ def plane_override(plane_ref, winner, ox, oy, oz, dx, dy, dz, *, t_min: float):
     py = oy + tp * dy
     pz = oz + tp * dz
     bt = jnp.where(wins, tp, bt)
-    bi = jnp.where(wins, 1 << 20, bi)
-    bcx = jnp.where(wins, px - sgn * pnx, bcx)
-    bcy = jnp.where(wins, py - sgn * pny, bcy)
-    bcz = jnp.where(wins, pz - sgn * pnz, bcz)
-    br = jnp.where(wins, 1.0, br)
+    bi = jnp.where(wins, hit_code, bi)
+    if encode_params:
+        # Gradient-kernel encoding: (cx, cy, cz) = raw unit normal, r =
+        # offset k — bounce_tile(plane_mask=...) computes the true plane t
+        # from these (well-conditioned at grazing incidence; the virtual
+        # sphere's tc - sqrt(disc) recompute cancels catastrophically
+        # there) and the offset cotangent rides the ordinary r-slot vjp.
+        bcx = jnp.where(wins, pnx, bcx)
+        bcy = jnp.where(wins, pny, bcy)
+        bcz = jnp.where(wins, pnz, bcz)
+        br = jnp.where(wins, pk, br)
+    else:
+        bcx = jnp.where(wins, px - sgn * pnx, bcx)
+        bcy = jnp.where(wins, py - sgn * pny, bcy)
+        bcz = jnp.where(wins, pz - sgn * pnz, bcz)
+        br = jnp.where(wins, 1.0, br)
     bar = jnp.where(wins, plane_ref[4], bar)
     bag = jnp.where(wins, plane_ref[5], bag)
     bab = jnp.where(wins, plane_ref[6], bab)

@@ -81,7 +81,8 @@ def _uniforms7(k0, k1, pix, samp, bounce):
 
 def bounce_tile(
     o3, d3, tp3, a9, mat, hit, alive, u, sky6, do_rr,
-    *, t_min: float, t_max: float, rr_on: bool,
+    *, t_min: float, t_max: float, rr_on: bool, silhouette=None,
+    plane_mask=None,
 ):
     """One differentiable bounce on (8,128) tiles.
 
@@ -91,6 +92,32 @@ def bounce_tile(
     (render.py): `mat`/`hit`/`alive` masks, the uniforms `u`, the RR gate
     `do_rr`.  `sky6` enters as closed-over values; its cotangent is
     accumulated manually by the backward kernel (simple lerp weights).
+
+    ``silhouette``: None, or (mask_tile, softness) enabling the
+    soft-silhouette visibility blend on the masked lanes (callers pass
+    all live sphere-hit lanes — every bounce, plane winners excluded).
+    For a hit, w = sigmoid(disc / (softness * r^2)) with the RAW scan
+    discriminant (disc >= 0 on hit lanes, so w in [0.5, 1]); the rest of
+    the chain's throughput scales by w and (1 - w) * sky(d) enters as
+    immediate radiance.  Because w is built from the bounce's
+    differentiable inputs (o3, d3, cx, cy, cz, r), ``jax.vjp`` carries the
+    visibility gradient d w / d geometry with no extra machinery — the
+    gradient the detached hit argmin otherwise drops (SURVEY.md S7 hard
+    part 1).  Blending at EVERY bounce (round 4; the round-3 post-hoc
+    blend was first-bounce-only) also differentiates occlusion edges seen
+    by secondary rays THROUGH THE RAY ORIGIN — e.g. the plane offset,
+    whose only loss signal in a sky-lit Lambertian scene is which
+    geometry its scattered rays see.
+
+    ``plane_mask``: None, or a bool tile marking ground-plane winner
+    lanes.  For those lanes a9's (cx, cy, cz) slots carry the plane's UNIT
+    NORMAL and the r slot its OFFSET k (surface {p : n.p + k = 0}) — the
+    hit t is then the true plane intersection (well-conditioned at grazing
+    incidence, where the virtual-sphere form's tc - sqrt(disc) cancels
+    catastrophically) and the normal is the face-forward plane normal.
+    The offset's cotangent falls out of the ordinary a9 vjp (the r slot);
+    normal-slot cotangents are discarded by the caller (the unit normal is
+    not a differentiable parameter).
 
     Returns (o'3, d'3, tp'3, rad_contrib3, surv_f).  Ops and clamp floors
     mirror ops/intersect.hit_from_gathered + ops/materials.scatter_attrs +
@@ -111,6 +138,14 @@ def bounce_tile(
     t_near = tc - sq
     t = jnp.where(t_near > t_min, t_near, tc + sq)
     t = jnp.where(hit, t, t_max)
+    if plane_mask is not None:
+        # True plane intersection for plane-winner lanes (see docstring):
+        # cx..cz = unit normal, r = offset k.
+        den_p = dx * cx + dy * cy + dz * cz
+        den_s = jnp.where(jnp.abs(den_p) > 1e-8, den_p, 1.0)
+        t_pl = (-(ox * cx + oy * cy + oz * cz) - r) / den_s
+        t = jnp.where(plane_mask, t_pl, t)
+        psgn = jnp.where(den_p > 0.0, -1.0, 1.0)
     px = ox + t * dx
     py = oy + t * dy
     pz = oz + t * dz
@@ -119,6 +154,11 @@ def bounce_tile(
     nz = (pz - cz) / r
     ninv = 1.0 / jnp.sqrt(nx * nx + ny * ny + nz * nz + 1e-20)
     nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
+    if plane_mask is not None:
+        # Face-forward plane normal (opposing the ray).
+        nx = jnp.where(plane_mask, psgn * cx, nx)
+        ny = jnp.where(plane_mask, psgn * cy, ny)
+        nz = jnp.where(plane_mask, psgn * cz, nz)
 
     sdx, sdy, sdz, atr, atg, atb, scattered = scatter_tiles(
         dx, dy, dz, nx, ny, nz, mat, ar, ag, ab, fz, io, u
@@ -155,6 +195,25 @@ def bounce_tile(
         ntr = jnp.where(boost, ntr / q, ntr)
         ntg = jnp.where(boost, ntg / q, ntg)
         ntb = jnp.where(boost, ntb / q, ntb)
+    if silhouette is not None:
+        smask, soft = silhouette
+        # Manual logistic (Mosaic has exp; jax.nn.sigmoid's logistic
+        # primitive may not lower) — identical formula in the jnp bounce.
+        # The argument clamp saturates the sigmoid exactly in f32 AND kills
+        # the vjp's inf/inf NaN on dead lanes whose stale/default attrs
+        # make disc hugely negative (0-cotangent times NaN is still NaN).
+        xs = jnp.clip(
+            disc / (np.float32(soft) * r * r + 1e-12), -30.0, 30.0
+        )
+        w = 1.0 / (1.0 + jnp.exp(-xs))
+        w = jnp.where(live & (smask > 0.0), w, 1.0)
+        omw = 1.0 - w
+        rad_r = rad_r + tr * skr * omw
+        rad_g = rad_g + tg * skg * omw
+        rad_b = rad_b + tb * skb * omw
+        ntr = ntr * w
+        ntg = ntg * w
+        ntb = ntb * w
     surv_f = jnp.where(surv, 1.0, 0.0)
     return (
         (nox, noy, noz), (ndx, ndy, ndz), (ntr, ntg, ntb),
@@ -176,6 +235,7 @@ def _grad_fwd_kernel(
     n_tr, n_tg, n_tb, n_rr, n_rg, n_rb, n_alive,
     o_idx, o_cx, o_cy, o_cz, o_r, o_ar, o_ag, o_ab, o_fz, o_io, o_mat,
     *, n_spheres: int, t_min: float, t_max: float, rr_start_depth: int,
+    softness: float,
 ):
     tables = (
         cx_ref, cy_ref, cz_ref, rad_ref, r2_ref,
@@ -196,12 +256,16 @@ def _grad_fwd_kernel(
         k0, k1, bounce = meta_ref[0], meta_ref[1], meta_ref[2]
         u = _uniforms7(k0, k1, pix_ref[:], samp_ref[:], bounce)
         do_rr = jnp.full(shape, bounce) >= jnp.uint32(rr_start_depth)
+        sil = None
+        if softness > 0.0:
+            sil = (jnp.ones(shape, jnp.float32), softness)
         sky6 = tuple(sky_ref[i] for i in range(6))
         a9 = (cx, cy, cz, r, ar, ag, ab, fz, io)
         (no3, nd3, ntp3, rad3, surv_f) = bounce_tile(
             (ox, oy, oz), (dx, dy, dz), (tr_ref[:], tg_ref[:], tb_ref[:]),
             a9, mat, hit, alive, u, sky6, do_rr,
             t_min=t_min, t_max=t_max, rr_on=bool(rr_start_depth),
+            silhouette=sil,
         )
         n_ox[:], n_oy[:], n_oz[:] = no3
         n_dx[:], n_dy[:], n_dz[:] = nd3
@@ -257,7 +321,7 @@ def _grad_bwd_kernel(
     b_ox, b_oy, b_oz, b_dx, b_dy, b_dz, b_tr, b_tg, b_tb,
     a_cx, a_cy, a_cz, a_r, a_ar, a_ag, a_ab, a_fz, a_io,
     s_lor, s_log, s_lob, s_hir, s_hig, s_hib,
-    *, t_min: float, t_max: float, rr_start_depth: int,
+    *, t_min: float, t_max: float, rr_start_depth: int, softness: float,
 ):
     shape = (_SUB, _LANE)
     sky_accs = (s_lor, s_log, s_lob, s_hir, s_hig, s_hib)
@@ -283,12 +347,16 @@ def _grad_bwd_kernel(
         k0, k1, bounce = meta_ref[0], meta_ref[1], meta_ref[2]
         u = _uniforms7(k0, k1, pix_ref[:], samp_ref[:], bounce)
         do_rr = jnp.full(shape, bounce) >= jnp.uint32(rr_start_depth)
+        sil = None
+        if softness > 0.0:
+            sil = (jnp.ones(shape, jnp.float32), softness)
         sky6 = tuple(sky_ref[i] for i in range(6))
 
         def f(o3, d3, tp3, a9):
             return bounce_tile(
                 o3, d3, tp3, a9, mat, hit, alive, u, sky6, do_rr,
                 t_min=t_min, t_max=t_max, rr_on=bool(rr_start_depth),
+                silhouette=sil,
             )[:4]
 
         _, pull = jax.vjp(f, o3, d3, tp3, a9)
@@ -361,6 +429,7 @@ def _fused_radiance_tiles(ox, oy, oz, dx, dy, dz, alive0, pix, samp,
         t_max=float(config.t_max),
         rr_start_depth=int(config.rr_start_depth),
         interpret=bool(config.pallas_interpret),
+        softness=float(config.silhouette_softness),
     )
     return jnp.stack([r.reshape(-1)[:n] for r in rad3], axis=-1)
 
@@ -481,22 +550,22 @@ def raygen_tiles(camera, keys, config):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17)
+    jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17, 18)
 )
 def _fused_trace(
     ox, oy, oz, dx, dy, dz, alive0, pix, samp, k0, k1, tables, sky6,
-    depth, t_min, t_max, rr_start_depth, interpret,
+    depth, t_min, t_max, rr_start_depth, interpret, softness=0.0,
 ):
     rad3, _ = _fused_fwd_impl(
         ox, oy, oz, dx, dy, dz, alive0, pix, samp, k0, k1, tables, sky6,
-        depth, t_min, t_max, rr_start_depth, interpret,
+        depth, t_min, t_max, rr_start_depth, interpret, softness,
     )
     return rad3
 
 
 def _fused_fwd_impl(
     ox, oy, oz, dx, dy, dz, alive0, pix, samp, k0, k1, tables, sky6,
-    depth, t_min, t_max, rr_start_depth, interpret,
+    depth, t_min, t_max, rr_start_depth, interpret, softness=0.0,
 ):
     rows = ox.shape[0]
     tables = pad_scene_tables(tables)
@@ -508,7 +577,7 @@ def _fused_fwd_impl(
 
     kernel = functools.partial(
         _grad_fwd_kernel, n_spheres=s_pad, t_min=t_min, t_max=t_max,
-        rr_start_depth=rr_start_depth,
+        rr_start_depth=rr_start_depth, softness=softness,
     )
     blk = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -554,17 +623,18 @@ def _fused_fwd_impl(
 
 def _fused_fwd_rule(
     ox, oy, oz, dx, dy, dz, alive0, pix, samp, k0, k1, tables, sky6,
-    depth, t_min, t_max, rr_start_depth, interpret,
+    depth, t_min, t_max, rr_start_depth, interpret, softness=0.0,
 ):
     rad3, res = _fused_fwd_impl(
         ox, oy, oz, dx, dy, dz, alive0, pix, samp, k0, k1, tables, sky6,
-        depth, t_min, t_max, rr_start_depth, interpret,
+        depth, t_min, t_max, rr_start_depth, interpret, softness,
     )
     s_real = tables[0].shape[0]
     return rad3, (res, s_real)
 
 
-def _fused_bwd_rule(depth, t_min, t_max, rr_start_depth, interpret, resaux, ct):
+def _fused_bwd_rule(depth, t_min, t_max, rr_start_depth, interpret,
+                    softness, resaux, ct):
     from .pallas_bucket import bucket_cols_pallas
 
     (resids, pix_u, samp_u, k0u, k1u, sky6), s_real = resaux
@@ -574,7 +644,7 @@ def _fused_bwd_rule(depth, t_min, t_max, rr_start_depth, interpret, resaux, ct):
 
     kernel = functools.partial(
         _grad_bwd_kernel, t_min=t_min, t_max=t_max,
-        rr_start_depth=rr_start_depth,
+        rr_start_depth=rr_start_depth, softness=softness,
     )
     blk = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
     pinned = pl.BlockSpec((_SUB, _LANE), lambda i: (0, 0), memory_space=pltpu.VMEM)

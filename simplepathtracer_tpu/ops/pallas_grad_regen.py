@@ -61,10 +61,12 @@ from .pallas_common import (
     camera_ray_tiles,
     closest_hit_scan,
     pad_scene_tables,
+    plane_override,
     threefry2x32,
     to_unit_float,
     vma_union,
 )
+from ..types import Material
 from .pallas_grad import bounce_tile
 
 _BLOCK = _SUB * _LANE
@@ -83,8 +85,14 @@ DEFAULT_BANKS = 8   # pixels per lane (chains/lane = banks * n_samples)
 _IDX_PACK = 3
 _IDX_BITS = 10
 _IDX_MASK = (1 << _IDX_BITS) - 1
-# Largest sphere count whose 16-padded table still fits a 10-bit idx+1.
+# Largest sphere count whose 16-padded table still fits a 10-bit idx+1
+# with the plane code (below) reserved.
 IDX_PACK_MAX_SPHERES = ((_IDX_MASK - 1) // 16) * 16
+# Winner code for a ground-plane hit (pallas_common.plane_override): packs
+# into 10 bits, never collides with a padded sphere slot (<= 1008), and
+# matches no bucket one-hot row — plane cotangents take their own pinned
+# accumulators in the backward kernel instead.
+PLANE_IDX = _IDX_MASK - 1
 
 # Residual plane order (each (B, rows, 128)):
 #   0-2  entry origin   3-5  entry direction   6-8  entry throughput
@@ -111,7 +119,7 @@ def _regen_fwd_kernel(
     # SMEM
     cx_ref, cy_ref, cz_ref, rad_ref, r2_ref,
     albr_ref, albg_ref, albb_ref, mat_ref, fuzz_ref, ior_ref,
-    sky_ref, cam_ref, meta_ref,
+    sky_ref, cam_ref, meta_ref, plane_ref,
     # VMEM inputs
     pix_ref, xf_ref, yf_ref,      # (n_banks, 8, 128)
     soff_ref,                     # (8, 128) u32
@@ -124,7 +132,8 @@ def _regen_fwd_kernel(
     *rest,
     n_spheres: int, n_banks: int, n_samples: int, max_depth: int,
     width: int, height: int, t_min: float, t_max: float,
-    rr_start_depth: int, emit_full: bool = True,
+    rr_start_depth: int, softness: float = 0.0, use_plane: bool = False,
+    emit_full: bool = True,
 ):
     if emit_full:
         res = rest[:_N_RES]       # _N_RES x (_CHUNK, 8, 128) outputs
@@ -239,6 +248,15 @@ def _regen_fwd_kernel(
                 tables, ox, oy, oz, dx, dy, dz,
                 n_spheres=n_spheres, t_min=t_min, t_max=t_max,
             )
+            if use_plane:
+                # Ground plane winner, code PLANE_IDX (10-bit packable;
+                # skips the sphere bucket).  encode_params: (cx..cz, r)
+                # carry (unit normal, offset) so bounce_tile computes the
+                # true plane t (see plane_override docstring).
+                winner = plane_override(
+                    plane_ref, winner, ox, oy, oz, dx, dy, dz,
+                    t_min=t_min, hit_code=PLANE_IDX, encode_params=True,
+                )
             (t_scan, bi, wcx, wcy, wcz, wr, war, wag, wab, wmat, wfz, wio) = winner
             del t_scan
             hit = bi >= 0
@@ -265,11 +283,19 @@ def _regen_fwd_kernel(
 
             u = _uniforms7_tile(k0, k1, pix, samp, b)
             do_rr = b >= jnp.uint32(rr_start_depth)
+            sil = None
+            if softness > 0.0:
+                if use_plane:
+                    sil = (jnp.where(bi != PLANE_IDX, 1.0, 0.0), softness)
+                else:
+                    sil = (jnp.ones(shape, f32), softness)
             sky6 = tuple(sky_ref[i] for i in range(6))
+            pm = (bi == PLANE_IDX) if use_plane else None
             (no3, nd3, ntp3, rad3, surv_f) = bounce_tile(
                 (ox, oy, oz), (dx, dy, dz), (tr, tg, tb),
                 a9, wmat, hit, alive, u, sky6, do_rr,
                 t_min=t_min, t_max=t_max, rr_on=bool(rr_start_depth),
+                silhouette=sil, plane_mask=pm,
             )
             # Depth budget termination on top of scatter/RR termination
             # (the per-bounce path terminates by scan length instead).
@@ -332,31 +358,33 @@ def _regen_fwd_kernel(
 
 def _regen_bwd_kernel(
     # SMEM
-    sky_ref, meta_ref,
+    sky_ref, meta_ref, plane_ref,
     # VMEM inputs: residual planes for this chunk + pix banks + soff + ct
     e_ox, e_oy, e_oz, e_dx, e_dy, e_dz, e_tr, e_tg, e_tb,
     alive_r, regen_r, kb_r, s_r, b_r, idx_r, mat_r,
     a_cx, a_cy, a_cz, a_r, a_ar, a_ag, a_ab, a_fz, a_io,
     pix_ref, soff_ref,
     ctr_ref, ctg_ref, ctb_ref,     # (n_banks, 8, 128) radiance cotangents
-    # outputs: per-iteration attr cotangents + sky partials
+    # outputs: per-iteration attr cotangents + sky partials + plane partials
     o_cx, o_cy, o_cz, o_r, o_ar, o_ag, o_ab, o_fz, o_io,   # (_CHUNK, 8, 128)
     s_lor, s_log, s_lob, s_hir, s_hig, s_hib,              # (8, 128) pinned
+    p_off, p_ar, p_ag, p_ab,                               # (8, 128) pinned
     # scratch: carried cotangents
     cox_s, coy_s, coz_s, cdx_s, cdy_s, cdz_s, ctr_s, ctg_s, ctb_s,
     n_banks: int, max_depth: int, t_min: float, t_max: float,
-    rr_start_depth: int,
+    rr_start_depth: int, softness: float = 0.0, use_plane: bool = False,
 ):
     f32 = jnp.float32
     shape = (_SUB, _LANE)
     k0, k1 = meta_ref[0], meta_ref[1]
     attr_outs = (o_cx, o_cy, o_cz, o_r, o_ar, o_ag, o_ab, o_fz, o_io)
     sky_accs = (s_lor, s_log, s_lob, s_hir, s_hig, s_hib)
+    plane_accs = (p_off, p_ar, p_ag, p_ab)
 
     @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
     def _init_sky():
         zero = jnp.zeros(shape, f32)
-        for s in sky_accs:
+        for s in sky_accs + plane_accs:
             s[:] = zero
 
     @pl.when(pl.program_id(1) == 0)
@@ -394,12 +422,21 @@ def _regen_bwd_kernel(
 
             u = _uniforms7_tile(k0, k1, pix, samp, b)
             do_rr = b >= jnp.uint32(rr_start_depth)
+            sil = None
+            if softness > 0.0:
+                if use_plane:
+                    sil = (jnp.where(idxv != PLANE_IDX, 1.0, 0.0), softness)
+                else:
+                    sil = (jnp.ones(shape, f32), softness)
             sky6 = tuple(sky_ref[i2] for i2 in range(6))
+
+            pm = (idxv == PLANE_IDX) if use_plane else None
 
             def f(o3, d3, tp3, a9):
                 return bounce_tile(
                     o3, d3, tp3, a9, mat, hit, alive, u, sky6, do_rr,
                     t_min=t_min, t_max=t_max, rr_on=bool(rr_start_depth),
+                    silhouette=sil, plane_mask=pm,
                 )[:4]
 
             _, pull = jax.vjp(f, o3, d3, tp3, a9)
@@ -411,6 +448,17 @@ def _regen_bwd_kernel(
             ))
             for ref, ct in zip(attr_outs, ct_a9):
                 ref[kl] = jnp.where(hit, ct, 0.0)
+            if use_plane:
+                # Plane cotangents: with the (normal, offset) winner
+                # encoding, bounce_tile differentiates the TRUE plane
+                # intersection w.r.t. (o, d) itself, and the offset's
+                # cotangent is simply the a9 r-slot's.  Albedo maps 1:1;
+                # normal-slot cotangents are discarded (not a parameter).
+                is_pl = jnp.where(idxv == PLANE_IDX, 1.0, 0.0)
+                p_off[:] = p_off[:] + ct_a9[3] * is_pl
+                p_ar[:] = p_ar[:] + ct_a9[4] * is_pl
+                p_ag[:] = p_ag[:] + ct_a9[5] * is_pl
+                p_ab[:] = p_ab[:] + ct_a9[6] * is_pl
             # Sky cotangent partials (same lerp weights as pallas_grad).
             miss_f = jnp.where(alive & ~hit, 1.0, 0.0)
             s01 = 0.5 * (d3[1] + 1.0)
@@ -450,18 +498,20 @@ def _regen_bwd_kernel(
     jax.lax.fori_loop(0, _CHUNK, body, 0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
-def _regen_trace(pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def _regen_trace(pix, xf, yf, soff, meta2, cam19, tables, sky6, plane7,
+                 static_cfg, interpret):
     out, _ = _regen_fwd_impl(
-        pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg, interpret
+        pix, xf, yf, soff, meta2, cam19, tables, sky6, plane7, static_cfg,
+        interpret
     )
     return out
 
 
-def _regen_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg,
-                    interpret, emit_idx_only=False):
+def _regen_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, plane7,
+                    static_cfg, interpret, emit_idx_only=False):
     (n_banks, n_samples, max_depth, width, height, t_min, t_max,
-     rr_start_depth) = static_cfg
+     rr_start_depth, softness, use_plane) = static_cfg
     rows = pix.shape[1]
     n_blocks = rows // _SUB
     tables = pad_scene_tables(tables)
@@ -476,6 +526,7 @@ def _regen_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg,
         n_spheres=s_pad, n_banks=n_banks, n_samples=n_samples,
         max_depth=max_depth, width=width, height=height,
         t_min=t_min, t_max=t_max, rr_start_depth=rr_start_depth,
+        softness=softness, use_plane=use_plane,
         emit_full=not emit_idx_only,
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -494,7 +545,7 @@ def _regen_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg,
         (_CHUNK // _IDX_PACK, _SUB, _LANE), lambda i, j: (j, i, 0),
         memory_space=pltpu.VMEM,
     )
-    vma = vma_union(pix, soff, meta2, *tables, sky6)
+    vma = vma_union(pix, soff, meta2, *tables, sky6, plane7)
 
     def to_vma(x):
         missing = vma - getattr(jax.typeof(x), "vma", frozenset())
@@ -504,7 +555,7 @@ def _regen_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg,
         jnp.broadcast_to(jnp.asarray(soff, jnp.uint32), (rows, _LANE))
     )
     if vma:
-        pix, xf, yf = (to_vma(x) for x in (pix, xf, yf))
+        pix, xf, yf, plane7 = (to_vma(x) for x in (pix, xf, yf, plane7))
     bank_sds = jax.ShapeDtypeStruct((n_banks, rows, _LANE), jnp.float32, vma=vma)
     lane_sds = jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma)
     f32res = jax.ShapeDtypeStruct((b_total, rows, _LANE), jnp.float32, vma=vma)
@@ -524,7 +575,7 @@ def _regen_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg,
     outs = pl.pallas_call(
         kernel,
         grid=(n_blocks, n_chunks),
-        in_specs=[smem] * 14 + [bank_in] * 3 + [tile_in],
+        in_specs=[smem] * 15 + [bank_in] * 3 + [tile_in],
         out_specs=tuple([bank_out] * 3 + [lane_out] + res_specs),
         out_shape=tuple([bank_sds] * 3 + [lane_sds] + res_dtypes),
         scratch_shapes=scratch,
@@ -535,32 +586,34 @@ def _regen_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg,
         ),
         interpret=interpret,
     )(
-        *tables, sky6, cam19, meta2,
+        *tables, sky6, cam19, meta2, plane7,
         pix.astype(jnp.uint32), xf, yf, soff_tile,
     )
     out4 = tuple(outs[:4])      # radiance banks + per-lane iteration counts
     residuals = tuple(outs[4:])
-    return out4, (residuals, pix, soff, meta2, sky6)
+    return out4, (residuals, pix, soff, meta2, sky6, plane7)
 
 
-def _regen_fwd_rule(pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg, interpret):
+def _regen_fwd_rule(pix, xf, yf, soff, meta2, cam19, tables, sky6, plane7,
+                    static_cfg, interpret):
     out3, res = _regen_fwd_impl(
-        pix, xf, yf, soff, meta2, cam19, tables, sky6, static_cfg, interpret
+        pix, xf, yf, soff, meta2, cam19, tables, sky6, plane7, static_cfg,
+        interpret
     )
     return out3, (res, (xf, yf, cam19), tables[0].shape[0])
 
 
-def _bwd_from_residuals(residuals, pix, soff, meta2, sky6, cts3, static_cfg,
-                        interpret, s_real):
+def _bwd_from_residuals(residuals, pix, soff, meta2, sky6, plane7, cts3,
+                        static_cfg, interpret, s_real):
     """Backward kernel + MXU bucket pass over one chunk's 25 residual
     planes.  Shared by the per-chunk custom VJP (_regen_bwd_rule) and the
     streamed-idx path (_regen_stream_bwd_rule).  Returns
     (d_tab [s_pad, 9] — padded sphere-table cotangent columns,
-    d_sky6 [6])."""
+    d_sky6 [6], d_plane4 [4] — offset + albedo rgb cotangents)."""
     from .pallas_bucket import bucket_cols_pallas
 
     (n_banks, n_samples, max_depth, width, height, t_min, t_max,
-     rr_start_depth) = static_cfg
+     rr_start_depth, softness, use_plane) = static_cfg
     ctr, ctg, ctb = cts3
     rows = pix.shape[1]
     n_blocks = rows // _SUB
@@ -571,7 +624,8 @@ def _bwd_from_residuals(residuals, pix, soff, meta2, sky6, cts3, static_cfg,
     kernel = functools.partial(
         _regen_bwd_kernel,
         n_banks=n_banks, max_depth=max_depth, t_min=t_min, t_max=t_max,
-        rr_start_depth=rr_start_depth,
+        rr_start_depth=rr_start_depth, softness=softness,
+        use_plane=use_plane,
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     # Chunks walked in REVERSE: grid step j reads residual chunk
@@ -593,7 +647,7 @@ def _bwd_from_residuals(residuals, pix, soff, meta2, sky6, cts3, static_cfg,
     pinned = pl.BlockSpec(
         (_SUB, _LANE), lambda i, j: (0, 0), memory_space=pltpu.VMEM
     )
-    vma = vma_union(ctr, pix, soff, meta2, sky6, *residuals)
+    vma = vma_union(ctr, pix, soff, meta2, sky6, plane7, *residuals)
 
     def to_vma(x):
         missing = vma - getattr(jax.typeof(x), "vma", frozenset())
@@ -603,7 +657,7 @@ def _bwd_from_residuals(residuals, pix, soff, meta2, sky6, cts3, static_cfg,
         jnp.broadcast_to(jnp.asarray(soff, jnp.uint32), (rows, _LANE))
     )
     if vma:
-        pix = to_vma(pix)
+        pix, plane7 = to_vma(pix), to_vma(plane7)
         ctr, ctg, ctb = (to_vma(x) for x in (ctr, ctg, ctb))
     f32res = jax.ShapeDtypeStruct((b_total, rows, _LANE), jnp.float32, vma=vma)
     sky_sds = jax.ShapeDtypeStruct((_SUB, _LANE), jnp.float32, vma=vma)
@@ -612,10 +666,10 @@ def _bwd_from_residuals(residuals, pix, soff, meta2, sky6, cts3, static_cfg,
     outs = pl.pallas_call(
         kernel,
         grid=(n_blocks, n_chunks),
-        in_specs=[smem] * 2 + [res_in] * _N_RES + [bank_in, tile_in]
+        in_specs=[smem] * 3 + [res_in] * _N_RES + [bank_in, tile_in]
         + [bank_in] * 3,
-        out_specs=tuple([res_out] * 9 + [pinned] * 6),
-        out_shape=tuple([f32res] * 9 + [sky_sds] * 6),
+        out_specs=tuple([res_out] * 9 + [pinned] * 10),
+        out_shape=tuple([f32res] * 9 + [sky_sds] * 10),
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=400 * rows * _LANE * b_total,
@@ -624,12 +678,13 @@ def _bwd_from_residuals(residuals, pix, soff, meta2, sky6, cts3, static_cfg,
         ),
         interpret=interpret,
     )(
-        sky6, meta2, *residuals,
+        sky6, meta2, plane7, *residuals,
         pix.astype(jnp.uint32), soff_tile,
         ctr, ctg, ctb,
     )
     attr_cts = outs[:9]
-    sky_parts = outs[9:]
+    sky_parts = outs[9:15]
+    plane_parts = outs[15:]
     idx = residuals[14]
     # Bucket every iteration's attribute cotangents (dead and unexecuted
     # iterations carry idx == -1 and exact-zero cotangents, and take the
@@ -666,12 +721,17 @@ def _bwd_from_residuals(residuals, pix, soff, meta2, sky6, cts3, static_cfg,
             (tuple(sl(a) for a in attr_cts), sl(idx)),
         )
     d_sky6 = jnp.stack([jnp.sum(a) for a in sky_parts])
-    return d_tab, d_sky6
+    d_plane4 = jnp.stack([jnp.sum(a) for a in plane_parts])
+    return d_tab, d_sky6, d_plane4
 
 
-def _tables_from_cols(d_tab, d_sky6, pix, xf, yf, soff, meta2, cam19, s_real):
-    """Package bucketed [s_pad, 9] columns + sky partials into the custom
-    VJP's cotangent structure (shared by both regen VJPs)."""
+def _tables_from_cols(d_tab, d_sky6, d_plane4, pix, xf, yf, soff, meta2,
+                      cam19, s_real):
+    """Package bucketed [s_pad, 9] columns + sky/plane partials into the
+    custom VJP's cotangent structure (shared by both regen VJPs).  The
+    plane cotangent covers offset + albedo; the unit normal is NOT a
+    differentiable parameter (its [0:3] cotangents are zero — consistent
+    with the jnp bounce, which detaches the plane normal)."""
     d_tab = d_tab[:s_real]
 
     def f0(x):
@@ -692,18 +752,19 @@ def _tables_from_cols(d_tab, d_sky6, pix, xf, yf, soff, meta2, cam19, s_real):
         f0(meta2),
         jnp.zeros_like(cam19),          # camera constants (not a diff leaf)
         d_tables, d_sky6,
+        jnp.concatenate([jnp.zeros((3,), jnp.float32), d_plane4]),
     )
 
 
 def _regen_bwd_rule(static_cfg, interpret, resaux, ct):
-    (residuals, pix, soff, meta2, sky6), (xf, yf, cam19), s_real = resaux
+    (residuals, pix, soff, meta2, sky6, plane7), (xf, yf, cam19), s_real = resaux
     ctr, ctg, ctb, _ct_n = ct   # iteration counts carry no gradient
-    d_tab, d_sky6 = _bwd_from_residuals(
-        residuals, pix, soff, meta2, sky6, (ctr, ctg, ctb), static_cfg,
-        interpret, s_real,
+    d_tab, d_sky6, d_plane4 = _bwd_from_residuals(
+        residuals, pix, soff, meta2, sky6, plane7, (ctr, ctg, ctb),
+        static_cfg, interpret, s_real,
     )
     return _tables_from_cols(
-        d_tab, d_sky6, pix, xf, yf, soff, meta2, cam19, s_real
+        d_tab, d_sky6, d_plane4, pix, xf, yf, soff, meta2, cam19, s_real
     )
 
 
@@ -741,15 +802,27 @@ def render_block_grad_regen(
         jax.lax.stop_gradient(t) if i == 4 else t for i, t in enumerate(tables)
     )
     meta2 = jnp.asarray(kd, jnp.uint32).reshape(2)
+    if scene.plane is not None:
+        # Plane normal is not a differentiable parameter (unit-constrained;
+        # matches the jnp bounce, which detaches it) — offset + albedo are.
+        plane7 = jnp.concatenate([
+            jax.lax.stop_gradient(jnp.asarray(scene.plane[:3], jnp.float32)),
+            jnp.asarray(scene.plane[3:], jnp.float32),
+        ])
+        use_plane = True
+    else:
+        plane7 = jnp.zeros((7,), jnp.float32)
+        use_plane = False
     static_cfg = (
         n_banks, int(n_samples), int(config.max_depth),
         int(config.width), int(config.height),
         float(config.t_min), float(config.t_max),
-        int(config.rr_start_depth),
+        int(config.rr_start_depth), float(config.silhouette_softness),
+        use_plane,
     )
     out_r, out_g, out_b, out_n = _regen_trace(
         pix, xf, yf, jnp.asarray(sample_offset, jnp.uint32), meta2, cam19,
-        tables, sky6, static_cfg, bool(config.pallas_interpret),
+        tables, sky6, plane7, static_cfg, bool(config.pallas_interpret),
     )
 
     img = jnp.stack([unbank(out_r), unbank(out_g), unbank(out_b)], axis=-1)
@@ -831,7 +904,7 @@ def _gather_attrs(ta_ref, idxv, s_pad):
 
 def _regen_refwd_kernel(
     # SMEM
-    sky_ref, cam_ref, meta_ref,
+    sky_ref, cam_ref, meta_ref, plane_ref,
     # VMEM inputs
     ta_ref,                       # [16, s_pad] attr matrix (pinned)
     pix_ref, xf_ref, yf_ref,      # (n_banks, 8, 128)
@@ -841,7 +914,7 @@ def _regen_refwd_kernel(
     *rest,
     s_pad: int, n_banks: int, n_samples: int, max_depth: int,
     width: int, height: int, t_min: float, t_max: float,
-    rr_start_depth: int,
+    rr_start_depth: int, softness: float = 0.0, use_plane: bool = False,
 ):
     """Scan-free re-forward: _regen_fwd_kernel with closest_hit_scan
     replaced by the recorded winner index + the one-hot attribute gather.
@@ -947,6 +1020,21 @@ def _regen_refwd_kernel(
             ) - 1
             hit = idxv >= 0
             a9, wmat = _gather_attrs(ta_ref, idxv, s_pad)
+            if use_plane:
+                # Plane lanes' recorded winner attrs are pure plane
+                # constants under the (normal, offset) encoding — no
+                # per-ray recomputation at all.
+                is_pl = idxv == PLANE_IDX
+                (g_cx, g_cy, g_cz, g_r, g_ar, g_ag, g_ab, g_fz, g_io) = a9
+                sel = lambda pv, gv: jnp.where(is_pl, pv, gv)  # noqa: E731
+                a9 = (
+                    sel(plane_ref[0], g_cx), sel(plane_ref[1], g_cy),
+                    sel(plane_ref[2], g_cz), sel(plane_ref[3], g_r),
+                    sel(plane_ref[4], g_ar), sel(plane_ref[5], g_ag),
+                    sel(plane_ref[6], g_ab), sel(0.0, g_fz),
+                    sel(1.0, g_io),
+                )
+                wmat = jnp.where(is_pl, int(Material.LAMBERTIAN), wmat)
             res[14][kl] = idxv
             res[15][kl] = wmat
             for j, a in enumerate(a9):
@@ -954,11 +1042,19 @@ def _regen_refwd_kernel(
 
             u = _uniforms7_tile(k0, k1, pix, samp, b)
             do_rr = b >= jnp.uint32(rr_start_depth)
+            sil = None
+            if softness > 0.0:
+                if use_plane:
+                    sil = (jnp.where(idxv != PLANE_IDX, 1.0, 0.0), softness)
+                else:
+                    sil = (jnp.ones(shape, f32), softness)
             sky6 = tuple(sky_ref[i] for i in range(6))
+            pm = (idxv == PLANE_IDX) if use_plane else None
             (no3, nd3, ntp3, _rad3, surv_f) = bounce_tile(
                 (ox, oy, oz), (dx, dy, dz), (tr, tg, tb),
                 a9, wmat, hit, alive, u, sky6, do_rr,
                 t_min=t_min, t_max=t_max, rr_on=bool(rr_start_depth),
+                silhouette=sil, plane_mask=pm,
             )
             b_next = b + jnp.uint32(1)
             surv = (surv_f > 0.0) & (b_next < jnp.uint32(max_depth))
@@ -995,12 +1091,12 @@ def _regen_refwd_kernel(
     jax.lax.cond(busy, do_chunk, skip_chunk)
 
 
-def _refwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, idx_planes,
-                static_cfg, interpret):
+def _refwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, plane7,
+                idx_planes, static_cfg, interpret):
     """pallas_call wrapper for the scan-free re-forward: one spp chunk's
     full _N_RES residual planes from its recorded idx planes."""
     (n_banks, n_samples, max_depth, width, height, t_min, t_max,
-     rr_start_depth) = static_cfg
+     rr_start_depth, softness, use_plane) = static_cfg
     rows = pix.shape[1]
     n_blocks = rows // _SUB
     tables = pad_scene_tables(tables)
@@ -1016,6 +1112,7 @@ def _refwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, idx_planes,
         s_pad=s_pad, n_banks=n_banks, n_samples=n_samples,
         max_depth=max_depth, width=width, height=height,
         t_min=t_min, t_max=t_max, rr_start_depth=rr_start_depth,
+        softness=softness, use_plane=use_plane,
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     ta_spec = pl.BlockSpec(
@@ -1032,7 +1129,7 @@ def _refwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, idx_planes,
         (_CHUNK // _IDX_PACK, _SUB, _LANE), lambda i, j: (j, i, 0),
         memory_space=pltpu.VMEM,
     )
-    vma = vma_union(pix, soff, meta2, *tables, sky6, idx_planes)
+    vma = vma_union(pix, soff, meta2, *tables, sky6, plane7, idx_planes)
 
     def to_vma(x):
         missing = vma - getattr(jax.typeof(x), "vma", frozenset())
@@ -1042,8 +1139,8 @@ def _refwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, idx_planes,
         jnp.broadcast_to(jnp.asarray(soff, jnp.uint32), (rows, _LANE))
     )
     if vma:
-        pix, xf, yf, idx_planes, ta16, cam19 = (
-            to_vma(x) for x in (pix, xf, yf, idx_planes, ta16, cam19)
+        pix, xf, yf, idx_planes, ta16, cam19, plane7 = (
+            to_vma(x) for x in (pix, xf, yf, idx_planes, ta16, cam19, plane7)
         )
     f32res = jax.ShapeDtypeStruct((b_total, rows, _LANE), jnp.float32, vma=vma)
     i32res = jax.ShapeDtypeStruct((b_total, rows, _LANE), jnp.int32, vma=vma)
@@ -1055,7 +1152,7 @@ def _refwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, idx_planes,
     outs = pl.pallas_call(
         kernel,
         grid=(n_blocks, n_chunks),
-        in_specs=[smem] * 3 + [ta_spec] + [bank_in] * 3 + [tile_in, packed_spec],
+        in_specs=[smem] * 4 + [ta_spec] + [bank_in] * 3 + [tile_in, packed_spec],
         out_specs=tuple([res_spec] * _N_RES),
         out_shape=tuple(res_dtypes),
         scratch_shapes=scratch,
@@ -1066,22 +1163,23 @@ def _refwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, idx_planes,
         ),
         interpret=interpret,
     )(
-        sky6, cam19, meta2, ta16,
+        sky6, cam19, meta2, plane7, ta16,
         pix.astype(jnp.uint32), xf, yf, soff_tile, idx_planes,
     )
     return tuple(outs)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
 def _regen_trace_stream(pix, xf, yf, soff, meta2, cam19, tables, sky6,
-                        stream_cfg, interpret):
+                        plane7, stream_cfg, interpret):
     out, _ = _stream_fwd_impl(
-        pix, xf, yf, soff, meta2, cam19, tables, sky6, stream_cfg, interpret
+        pix, xf, yf, soff, meta2, cam19, tables, sky6, plane7, stream_cfg,
+        interpret
     )
     return out
 
 
-def _stream_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6,
+def _stream_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, plane7,
                      stream_cfg, interpret):
     static_cfg, n_chunks = stream_cfg
     n_banks, chunk = static_cfg[0], static_cfg[1]
@@ -1089,8 +1187,8 @@ def _stream_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6,
     def one(c):
         soff_c = soff + jnp.uint32(chunk) * c.astype(jnp.uint32)
         out4, res = _regen_fwd_impl(
-            pix, xf, yf, soff_c, meta2, cam19, tables, sky6, static_cfg,
-            interpret, emit_idx_only=True,
+            pix, xf, yf, soff_c, meta2, cam19, tables, sky6, plane7,
+            static_cfg, interpret, emit_idx_only=True,
         )
         return out4, res[0][0]
 
@@ -1102,7 +1200,7 @@ def _stream_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6,
     # stack — a concatenate of a separately-run first chunk doubles the idx
     # allocation (a 3.6 GB copy at bench scale, the chunk-10 compile OOM).
     # The zero carry must match the kernel outputs' vma under shard_map.
-    vma = vma_union(pix, soff, meta2, *tables, sky6)
+    vma = vma_union(pix, soff, meta2, *tables, sky6, plane7)
 
     def to_vma(x):
         missing = vma - getattr(jax.typeof(x), "vma", frozenset())
@@ -1127,16 +1225,18 @@ def _stream_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6,
 
 
 def _regen_stream_fwd_rule(pix, xf, yf, soff, meta2, cam19, tables, sky6,
-                           stream_cfg, interpret):
+                           plane7, stream_cfg, interpret):
     out4, idxs = _stream_fwd_impl(
-        pix, xf, yf, soff, meta2, cam19, tables, sky6, stream_cfg, interpret
+        pix, xf, yf, soff, meta2, cam19, tables, sky6, plane7, stream_cfg,
+        interpret
     )
     return out4, (idxs, pix, xf, yf, soff, meta2, cam19, tables, sky6,
-                  tables[0].shape[0])
+                  plane7, tables[0].shape[0])
 
 
 def _regen_stream_bwd_rule(stream_cfg, interpret, resaux, ct):
-    (idxs, pix, xf, yf, soff, meta2, cam19, tables, sky6, s_real) = resaux
+    (idxs, pix, xf, yf, soff, meta2, cam19, tables, sky6, plane7,
+     s_real) = resaux
     static_cfg, n_chunks = stream_cfg
     chunk = static_cfg[1]
     ctr, ctg, ctb, _ct_n = ct
@@ -1151,24 +1251,25 @@ def _regen_stream_bwd_rule(stream_cfg, interpret, resaux, ct):
         idx_c, c = xs
         soff_c = soff + jnp.uint32(chunk) * c.astype(jnp.uint32)
         res25 = _refwd_impl(
-            pix, xf, yf, soff_c, meta2, cam19, tables, sky6, idx_c,
+            pix, xf, yf, soff_c, meta2, cam19, tables, sky6, plane7, idx_c,
             static_cfg, interpret,
         )
-        d_tab, d_sky = _bwd_from_residuals(
-            res25, pix, soff_c, meta2, sky6, (ctr, ctg, ctb), static_cfg,
-            interpret, s_real,
+        d_tab, d_sky, d_pl = _bwd_from_residuals(
+            res25, pix, soff_c, meta2, sky6, plane7, (ctr, ctg, ctb),
+            static_cfg, interpret, s_real,
         )
-        return (carry[0] + d_tab, carry[1] + d_sky), None
+        return (carry[0] + d_tab, carry[1] + d_sky, carry[2] + d_pl), None
 
     init = (
         to_vma(jnp.zeros((s_pad, 9), jnp.float32)),
         to_vma(jnp.zeros((6,), jnp.float32)),
+        to_vma(jnp.zeros((4,), jnp.float32)),
     )
-    (d_tab, d_sky6), _ = jax.lax.scan(
+    (d_tab, d_sky6, d_plane4), _ = jax.lax.scan(
         step, init, (idxs, jnp.arange(n_chunks, dtype=jnp.int32))
     )
     return _tables_from_cols(
-        d_tab, d_sky6, pix, xf, yf, soff, meta2, cam19, s_real
+        d_tab, d_sky6, d_plane4, pix, xf, yf, soff, meta2, cam19, s_real
     )
 
 
@@ -1201,15 +1302,27 @@ def render_block_grad_regen_stream(
         jax.lax.stop_gradient(t) if i == 4 else t for i, t in enumerate(tables)
     )
     meta2 = jnp.asarray(kd, jnp.uint32).reshape(2)
+    if scene.plane is not None:
+        # Plane normal is not a differentiable parameter (unit-constrained;
+        # matches the jnp bounce, which detaches it) — offset + albedo are.
+        plane7 = jnp.concatenate([
+            jax.lax.stop_gradient(jnp.asarray(scene.plane[:3], jnp.float32)),
+            jnp.asarray(scene.plane[3:], jnp.float32),
+        ])
+        use_plane = True
+    else:
+        plane7 = jnp.zeros((7,), jnp.float32)
+        use_plane = False
     static_cfg = (
         n_banks, int(chunk), int(config.max_depth),
         int(config.width), int(config.height),
         float(config.t_min), float(config.t_max),
-        int(config.rr_start_depth),
+        int(config.rr_start_depth), float(config.silhouette_softness),
+        use_plane,
     )
     stream_cfg = (static_cfg, int(n_samples) // int(chunk))
     out_r, out_g, out_b, _out_n = _regen_trace_stream(
         pix, xf, yf, jnp.asarray(sample_offset, jnp.uint32), meta2, cam19,
-        tables, sky6, stream_cfg, bool(config.pallas_interpret),
+        tables, sky6, plane7, stream_cfg, bool(config.pallas_interpret),
     )
     return jnp.stack([unbank(out_r), unbank(out_g), unbank(out_b)], axis=-1)

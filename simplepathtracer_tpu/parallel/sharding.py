@@ -130,7 +130,9 @@ def render_sharded(scene: Scene, camera: Camera, config: RenderConfig, key, mesh
 # one inverse-rendering gradient step on scene parameters).
 # ---------------------------------------------------------------------------
 
-_DIFF_LEAVES = ("centers", "radii", "albedo", "fuzz", "ior", "sky_lo", "sky_hi")
+_DIFF_LEAVES = (
+    "centers", "radii", "albedo", "fuzz", "ior", "sky_lo", "sky_hi", "plane",
+)
 
 
 @jax.custom_vjp
@@ -163,8 +165,14 @@ _psum_samples_unchecked.defvjp(
 
 
 def split_scene(scene: Scene):
-    """Split a Scene into (differentiable params dict, static remainder)."""
-    params = {k: getattr(scene, k) for k in _DIFF_LEAVES}
+    """Split a Scene into (differentiable params dict, static remainder).
+
+    Leaves the scene doesn't carry (plane=None on sphere-only scenes) are
+    dropped so the params dict stays a pure-array pytree.
+    """
+    params = {
+        k: v for k in _DIFF_LEAVES if (v := getattr(scene, k)) is not None
+    }
     return params, scene
 
 

@@ -78,9 +78,10 @@ class Scene:
     # with the surface {p : dot(n, p) + k = 0}, albedo rgb), or None.  The
     # reference counterpart is its DEAD plane code + constants
     # (include/Collision.hpp:73-85, Globals.hpp:26-28) — here it is live in
-    # every forward path (jnp bounce + both Pallas kernels); gradient entry
-    # points fall back to the jnp bounce (scenes.with_ground_plane).  Not a
-    # DIFF_LEAVES member: plane parameters are not optimized.
+    # every forward path (jnp bounce + both Pallas kernels) AND the regen
+    # gradient kernels (round 4: virtual-unit-sphere winner, PLANE_IDX
+    # code).  A DIFF_LEAVES member since round 4: offset + albedo receive
+    # gradients; the unit normal is structurally detached in every path.
     plane: Array | None = None
 
     @property
@@ -168,9 +169,9 @@ class RenderConfig:
     # the persistent-kernel utilization fix applied to the differentiable
     # path — dead lanes immediately start their pixel's next sample, so
     # fwd+bwd work tracks the ~2.7-bounce mean path instead of sweeping
-    # every block max_depth times.  Requires use_pallas_grad; falls back to
-    # the per-bounce fused kernels for explicit-ray entry points
-    # (silhouette blend) and plane scenes.
+    # every block max_depth times.  Requires use_pallas_grad.  Since round
+    # 4 it serves every scene: plane scenes (virtual-unit-sphere winner)
+    # and soft silhouettes (in-bounce blend) included.
     grad_regen: bool = False
     # Pixel banks per lane for the regen gradient kernels (chains/lane =
     # banks * spp_chunk; the block-straggler tail shrinks ~1/sqrt(chains)

@@ -381,3 +381,169 @@ def test_stream_idx_above_8bit():
     for k in g_s:
         a, b = np.asarray(g_c[k]), np.asarray(g_s[k])
         np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-7, err_msg=k)
+
+
+def test_regen_silhouette_gradients_match_jnp():
+    """Round-4: the soft-silhouette blend lives inside bounce_tile, so the
+    regen kernels serve geometry fits directly (no per-bounce-path detour,
+    no jnp re-scan).  Visibility gradients must match the jnp bounce."""
+    scene, cam, cfg, key = _setup(depth=4, silhouette_softness=0.05)
+    target = jnp.full((cfg.height, cfg.width, 3), 0.25, jnp.float32)
+    params, static_scene = inverse.split_params(scene, ("centers", "radii"))
+
+    def grads(c):
+        return jax.value_and_grad(inverse.pixel_loss)(
+            params, static_scene, target, cam, c, key, ("centers", "radii")
+        )
+
+    l_j, g_j = grads(cfg)
+    l_r, g_r = grads(_regen(cfg))
+    np.testing.assert_allclose(float(l_j), float(l_r), rtol=1e-6)
+    for k in g_j:
+        a, b = np.asarray(g_j[k]), np.asarray(g_r[k])
+        np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-6, err_msg=k)
+
+
+def test_stream_silhouette_matches_remat():
+    """Streamed-idx path under soft silhouettes (now allowed): loss
+    bit-identical to chunked remat, gradients to accumulation tolerance."""
+    scene, cam, cfg, key = _setup(width=32, height=16, spp=6, depth=5,
+                                  spp_chunk=2, silhouette_softness=0.05)
+    target = jnp.full((cfg.height, cfg.width, 3), 0.25, jnp.float32)
+    l_s, g_s = _grads(scene, cam, _regen(cfg), key, target)
+    l_c, g_c = _grads(
+        scene, cam, _regen(cfg).replace(grad_regen_stream=False), key, target
+    )
+    assert float(l_s) == float(l_c), (float(l_s), float(l_c))
+    for k in g_s:
+        a, b = np.asarray(g_c[k]), np.asarray(g_s[k])
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-7, err_msg=k)
+
+
+def test_regen_silhouette_fit_recovers_center():
+    """End-to-end geometry recovery THROUGH THE REGEN KERNELS: perturb one
+    sphere's center, fit it back with soft silhouettes (soft-to-soft)."""
+    scene, cam, cfg, key = _setup(width=48, height=24, spp=8, depth=3)
+    soft = 0.05
+    target = inverse.render_linear(
+        scene, cam, _regen(cfg).replace(silhouette_softness=soft),
+        jax.random.fold_in(key, 9),
+    )
+    perturbed = scene.replace(
+        centers=scene.centers.at[1].add(jnp.asarray([0.12, 0.08, 0.0]))
+    )
+    mask = {"centers": jnp.zeros_like(scene.centers).at[1].set(1.0)}
+    recovered, losses = inverse.fit(
+        perturbed, target, cam, _regen(cfg), key, steps=24, lr=2e-2,
+        leaves=("centers",), softness=soft, param_mask=mask,
+    )
+    err0 = float(jnp.abs(perturbed.centers - scene.centers).max())
+    err1 = float(jnp.abs(recovered.centers - scene.centers).max())
+    assert err1 < err0 * 0.5, (err0, err1, losses[::6])
+
+
+def _plane_setup(**kw):
+    from simplepathtracer_tpu.scenes import with_ground_plane
+
+    scene, cam, cfg, key = _setup(**kw)
+    scene = with_ground_plane(scene)
+    # Drop the plane a little below the spheres' resting tangent (y=-0.5):
+    # exact tangency makes the whole contact circle a plane-vs-sphere fp
+    # tie, and jnp/kernel orderings flip winners all along it.
+    scene = scene.replace(plane=jnp.asarray(scene.plane).at[3].set(0.6))
+    return scene, cam, cfg, jax.random.PRNGKey(7)
+
+
+def test_plane_regen_forward_matches_jnp():
+    """Ground-plane scenes route through the regen kernels since round 4
+    (virtual-unit-sphere winner, PLANE_IDX code)."""
+    scene, cam, cfg, key = _plane_setup()
+    img_j = inverse.render_linear(scene, cam, cfg, key)
+    img_r = inverse.render_linear(scene, cam, _regen(cfg), key)
+    _assert_images_close(img_j, img_r)
+
+
+def test_plane_regen_gradients_match_jnp():
+    """Plane-scene gradients — all sphere leaves AND the plane leaf
+    (offset + albedo; the unit normal is detached in every path)."""
+    scene, cam, cfg, key = _plane_setup(depth=4)
+    target = jnp.full((cfg.height, cfg.width, 3), 0.25, jnp.float32)
+    l_j, g_j = _grads(scene, cam, cfg, key, target)
+    l_r, g_r = _grads(scene, cam, _regen(cfg), key, target)
+    np.testing.assert_allclose(float(l_j), float(l_r), rtol=1e-5)
+    assert np.abs(np.asarray(g_j["plane"][:3])).max() == 0.0  # normal detached
+    for k in g_j:
+        a, b = np.asarray(g_j[k]), np.asarray(g_r[k])
+        np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-5, err_msg=k)
+
+
+def test_plane_stream_matches_remat():
+    """Streamed-idx replay recomputes the plane's virtual winner from the
+    recorded PLANE_IDX code — loss bit-identical to chunked remat."""
+    scene, cam, cfg, key = _plane_setup(width=32, height=16, spp=6, depth=5,
+                                        spp_chunk=2)
+    target = jnp.full((cfg.height, cfg.width, 3), 0.25, jnp.float32)
+    l_s, g_s = _grads(scene, cam, _regen(cfg), key, target)
+    l_c, g_c = _grads(
+        scene, cam, _regen(cfg).replace(grad_regen_stream=False), key, target
+    )
+    assert float(l_s) == float(l_c), (float(l_s), float(l_c))
+    for k in g_s:
+        a, b = np.asarray(g_c[k]), np.asarray(g_s[k])
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-7, err_msg=k)
+
+
+def test_plane_albedo_fit_recovers_offset_grad_exact():
+    """BASELINE config-4 extension: the plane is a differentiable leaf
+    through the regen kernels.  Albedo RECOVERS by fit; the offset's
+    gradient is implemented and EXACT w.r.t. the soft objective's hit-side
+    term (pinned against the jnp bounce + FD below), but offset FITTING is
+    not asserted: measured round 4, an infinite plane's offset signal in a
+    sky-lit Lambertian scene lives almost entirely on the MISS side of
+    occlusion edges (which geometry its scattered rays see), and the
+    one-sided soft-silhouette blend (w in [0.5, 1] on hit lanes) cannot
+    represent that side without phantom-chain/edge-sampling machinery —
+    the MC-noise floor's own k-dependence then dominates the captured
+    half.  The same one-sided blend DOES recover sphere centers (their
+    edges move both sides symmetrically): test_regen_silhouette_fit_*."""
+    scene, cam, cfg, key = _plane_setup(width=48, height=24, spp=8, depth=3)
+    target = inverse.render_linear(
+        scene, cam, _regen(cfg), jax.random.fold_in(key, 9)
+    )
+    truth = jnp.asarray(scene.plane)
+    perturbed = scene.replace(
+        plane=truth.at[4:].add(jnp.asarray([-0.2, 0.15, -0.1]))
+    )
+    mask = {"plane": jnp.zeros((7,), jnp.float32).at[4:].set(1.0)}
+    recovered, losses = inverse.fit(
+        perturbed, target, cam, _regen(cfg), key, steps=30, lr=3e-2,
+        leaves=("plane",), param_mask=mask,
+    )
+    err0 = float(jnp.abs(jnp.asarray(perturbed.plane)[4:] - truth[4:]).max())
+    err1 = float(jnp.abs(jnp.asarray(recovered.plane)[4:] - truth[4:]).max())
+    assert err1 < err0 * 0.5, (err0, err1, losses[::8])
+    # Normal and offset must not have moved (masked).
+    np.testing.assert_array_equal(
+        np.asarray(recovered.plane)[:4], np.asarray(truth)[:4]
+    )
+
+
+def test_plane_offset_gradient_nonzero_and_matches_jnp():
+    """The offset's (hit-side) visibility gradient under the all-bounce
+    soft blend: nonzero, finite, and identical between the jnp bounce and
+    the regen kernels."""
+    scene, cam, cfg, key = _plane_setup(width=32, height=16, spp=8, depth=4)
+    soft_cfg = cfg.replace(silhouette_softness=0.15)
+    target = jnp.full((cfg.height, cfg.width, 3), 0.3, jnp.float32)
+    params, ss = inverse.split_params(scene, ("plane",))
+
+    def grad_k(c):
+        _, g = jax.value_and_grad(inverse.pixel_loss)(
+            params, ss, target, cam, c, key, ("plane",)
+        )
+        return float(g["plane"][3])
+
+    gk_j = grad_k(soft_cfg)
+    gk_r = grad_k(_regen(soft_cfg))
+    assert np.isfinite(gk_j) and gk_j != 0.0, gk_j
+    np.testing.assert_allclose(gk_r, gk_j, rtol=2e-3, atol=1e-9)
