@@ -60,6 +60,10 @@ BENCH_SPP = 100
 # fwd_bwd_sustained_100spp row.
 GRAD_SPP = 8
 SUSTAINED_SPP = 100
+# The BASELINE.json metric line is fwd+bwd at 500 spp: round 4's packed
+# idx planes (3 x 10-bit winners per word) fit 500 spp in the streamed
+# path's budget, so this row runs the north-star workload directly.
+NORTH_STAR_SPP = 500
 PROBE_TIMEOUT_S = 170   # tiny-op probe budget (device init, no Mosaic compile)
 PROBE_COOLDOWN_S = 120  # wait before the one retry when the probe fails
 
@@ -144,8 +148,17 @@ def _bench_forward(accumulate, init_state, scene, camera, config, key, spp):
     return dt, compile_s
 
 
-def _bench_grad(scene, camera, config, key, spp, spp_chunk, reps=2, regen=None):
-    """Steady-state seconds for one jitted value_and_grad of the pixel MSE."""
+def _bench_grad(scene, camera, config, key, spp, spp_chunk, reps=2,
+                regen=None, rr=0, fwd_only=False):
+    """Steady-state seconds for one jitted value_and_grad of the pixel MSE.
+
+    ``fwd_only=True`` times the loss FORWARD alone (no grad) under the
+    identical config — on the streamed gradient path that is phase A (the
+    idx-recording forward) + loss arithmetic, so (grad_dt - fwd_dt) is
+    phase B (scan-free re-forward + backward + bucket): the decomposition
+    the round-3 VERDICT asked to make driver-visible.  ``rr`` sets
+    rr_start_depth (gradients under Russian roulette are unbiased and
+    equivalence-tested)."""
     import jax
     import jax.numpy as jnp
 
@@ -159,15 +172,22 @@ def _bench_grad(scene, camera, config, key, spp, spp_chunk, reps=2, regen=None):
     # None keeps grad_safe_config's default (regen on TPU).
     gcfg = grad_safe_config(
         config.replace(spp=spp, spp_chunk=spp_chunk)
-    ).replace(rr_start_depth=0)
+    ).replace(rr_start_depth=rr)
     if regen is not None:
         gcfg = gcfg.replace(grad_regen=regen)
     params, static_scene = inverse.split_params(scene)
     target = jnp.zeros((gcfg.height, gcfg.width, 3), jnp.float32)
-    vg = jax.jit(jax.value_and_grad(inverse.pixel_loss), static_argnames=("config",))
+    if fwd_only:
+        fn = jax.jit(inverse.pixel_loss, static_argnames=("config",))
+    else:
+        fn = jax.jit(
+            jax.value_and_grad(inverse.pixel_loss),
+            static_argnames=("config",),
+        )
 
     def run():
-        loss, grads = vg(params, static_scene, target, camera, gcfg, key)
+        out = fn(params, static_scene, target, camera, gcfg, key)
+        loss = out[0] if isinstance(out, tuple) else out
         np.asarray(loss)  # sync (scalar fetch is cheap)
         return loss
 
@@ -373,16 +393,102 @@ def main():
             scene, camera, config, key, SUSTAINED_SPP, spp_chunk=0, reps=1
         )
         sus_pps = WIDTH * HEIGHT * SUSTAINED_SPP / sus_dt
-        metrics.append({
+        row = {
             "name": "fwd_bwd_sustained_100spp_paths_per_sec",
             "value": round(sus_pps, 1), "vs_baseline": vs(sus_pps),
             "elapsed_s": round(sus_dt, 3),
             "compile_plus_first_s": round(sus_compile, 1),
             "spp": SUSTAINED_SPP,
-        })
+        }
+        # Decomposition (round-3 VERDICT weak 2): the loss FORWARD alone is
+        # phase A (idx-recording forward + loss arithmetic); the remainder
+        # is phase B (scan-free re-forward + backward + bucket).  Ceilings:
+        # phase A's is the pure forward row (fwd_paths_per_sec — streaming
+        # one idx plane was measured +19 ms over it at bench scale); phase
+        # B's VPU work is the bounce vjp, not a sphere scan, so its
+        # achieved rate is reported for regression tracking rather than
+        # against a scan roofline.
+        try:
+            pa_dt, _ = _bench_grad(
+                scene, camera, config, key, SUSTAINED_SPP, spp_chunk=0,
+                reps=1, fwd_only=True,
+            )
+            row["phase_a_s"] = round(pa_dt, 3)
+            row["phase_b_s"] = round(sus_dt - pa_dt, 3)
+            row["phase_a_paths_per_sec"] = round(
+                WIDTH * HEIGHT * SUSTAINED_SPP / pa_dt, 1
+            )
+            row["phase_b_paths_per_sec"] = round(
+                WIDTH * HEIGHT * SUSTAINED_SPP / max(sus_dt - pa_dt, 1e-9), 1
+            )
+        except Exception as e:  # decomposition is informative
+            errors.append(f"sustained_decomposition: {e!r}")
+        metrics.append(row)
         emit(result, partial_only=True)
     except Exception as e:
         errors.append(f"fwd_bwd_sustained: {e!r}")
+
+    # --- fwd+bwd sustained with Russian roulette (VERDICT r3 weak 3:
+    # forward RR is a measured 1.25x; gradients under RR are unbiased and
+    # equivalence-tested — measure whether invert should default it) ------
+    try:
+        rrg_dt, rrg_compile = _bench_grad(
+            scene, camera, config, key, SUSTAINED_SPP, spp_chunk=0, reps=1,
+            rr=2,
+        )
+        rrg_pps = WIDTH * HEIGHT * SUSTAINED_SPP / rrg_dt
+        metrics.append({
+            "name": "fwd_bwd_sustained_rr_paths_per_sec",
+            "value": round(rrg_pps, 1), "vs_baseline": vs(rrg_pps),
+            "elapsed_s": round(rrg_dt, 3),
+            "compile_plus_first_s": round(rrg_compile, 1),
+            "spp": SUSTAINED_SPP, "rr_start_depth": 2,
+        })
+        emit(result, partial_only=True)
+    except Exception as e:
+        errors.append(f"fwd_bwd_sustained_rr: {e!r}")
+
+    # --- fwd+bwd sustained at the NORTH-STAR 500 spp (BASELINE.json's own
+    # metric line; packed idx planes keep the streamed path engaged) ------
+    try:
+        ns_dt, ns_compile = _bench_grad(
+            scene, camera, config, key, NORTH_STAR_SPP, spp_chunk=0, reps=1
+        )
+        ns_pps = WIDTH * HEIGHT * NORTH_STAR_SPP / ns_dt
+        metrics.append({
+            "name": "fwd_bwd_sustained_500spp_paths_per_sec",
+            "value": round(ns_pps, 1), "vs_baseline": vs(ns_pps),
+            "elapsed_s": round(ns_dt, 3),
+            "compile_plus_first_s": round(ns_compile, 1),
+            "spp": NORTH_STAR_SPP,
+        })
+        emit(result, partial_only=True)
+    except Exception as e:
+        errors.append(f"fwd_bwd_sustained_500spp: {e!r}")
+
+    # --- reference scene (S=10) forward row: the scan is ~50x lighter, so
+    # per-iteration overhead dominates — a different regime to guard
+    # (VERDICT r3 weak 7).  Same image shape for comparability. ----------
+    try:
+        import simplepathtracer_tpu as _spt
+
+        ref_scene = _spt.reference_scene()
+        ref_cam = _spt.make_camera(
+            origin=(0, 1, -3), lookat=(0, 1, 0), vfov_deg=90
+        )
+        ref_dt, ref_compile = _bench_forward(
+            accumulate, init_state, ref_scene, ref_cam, config, key, BENCH_SPP
+        )
+        ref_pps = WIDTH * HEIGHT * BENCH_SPP / ref_dt
+        metrics.append({
+            "name": "fwd_reference_scene_paths_per_sec",
+            "value": round(ref_pps, 1), "elapsed_s": round(ref_dt, 3),
+            "compile_plus_first_s": round(ref_compile, 1),
+            "spheres": int(ref_scene.num_spheres),
+        })
+        emit(result, partial_only=True)
+    except Exception as e:
+        errors.append(f"fwd_reference_scene: {e!r}")
 
     if errors:
         detail["errors"] = errors
