@@ -69,6 +69,30 @@ matches the 8x-downsampled 7.bmp at luminance correlation 0.986 and mean
 abs gamma-space difference 0.016 (tests/test_golden_reference.py pins
 0.95/0.06) — versus 0.905/0.034 against the current-code scene, the
 residual being entirely the two re-materialized spheres.
+
+The 5.bmp / 6.bmp eras (round-4 forensics, same patch colorimetry)
+---------------------------------------------------------------------
+Sampling 30x30 patches at each sphere's projected center in every shipped
+BMP and inverting the gamma:
+
+* **5.bmp**: all nine small spheres measure MATTE with linear rgb
+  proportional to TODAY'S g_colors table in today's order (e.g. sphere 1
+  ~ (10, 255, 110), sphere 2 ~ (110, 10, 255)) — the current color list
+  with every material DIFFUSE and no purple swap.  ``scene_5bmp()``; the
+  oracle pins it at corr 0.986 / MAD 0.032 — as tight as 7.bmp.
+* **6.bmp**: identical to 5.bmp EXCEPT colors[1] is the 7-era purple
+  {110, 10, 255} and sphere 2 renders as near-saturated WHITE (patch std
+  0.000 — clipped), i.e. that era's REFRACTIVE material.  ``scene_6bmp()``
+  pins corr 0.952 / MAD 0.037; the residual concentrates on the glass
+  sphere, whose era implementation rendered near-white where the
+  documented SingleThreadPathTracer glass TRANSMITS the scene — the one
+  behavior the final code state cannot reproduce.  The BMP sequence thus
+  reads 5 (all diffuse) -> 6 (+purple swap, glass center) -> 7 (mirror
+  center): the material experiments happened between shipped renders.
+* **1.bmp-4.bmp are unmatchable from this code state**: they show hard
+  CAST SHADOWS and (1/2) a pink-tan ground with glossy shading — no code
+  path in the snapshot casts shadows or shades speculars that way; those
+  renders predate the Shirley-style rewrite entirely.
 """
 
 from __future__ import annotations
@@ -103,6 +127,24 @@ MATERIALS = np.array(
 INIT_COLOR = np.array([137, 207, 240], np.float32)  # Globals.hpp:29
 N_SPHERES = 10
 MAX_ITERS = 40  # cap on the unbounded specular recursion (loops are rare)
+
+
+def scene_5bmp():
+    """(colors, materials) of the 5.bmp era: today's color table, every
+    sphere DIFFUSE (patch colorimetry, module docstring)."""
+    return COLORS.copy(), np.full(N_SPHERES, DIFFUSE, np.int32)
+
+
+def scene_6bmp():
+    """(colors, materials) of the 6.bmp era: purple colors[1] (like 7),
+    REFRACTIVE center sphere.  The era's glass rendered near-white; the
+    documented-semantics oracle transmits instead, so this pin is looser
+    (module docstring)."""
+    colors = COLORS.copy()
+    colors[1] = [110, 10, 255]
+    materials = np.full(N_SPHERES, DIFFUSE, np.int32)
+    materials[2] = REFRACTIVE
+    return colors, materials
 
 
 def scene_7bmp():

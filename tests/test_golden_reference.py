@@ -19,7 +19,12 @@ import pytest
 
 import simplepathtracer_tpu as spt
 from simplepathtracer_tpu import io as sptio
-from simplepathtracer_tpu.oracle.ref_exact import render_ref_exact, scene_7bmp
+from simplepathtracer_tpu.oracle.ref_exact import (
+    render_ref_exact,
+    scene_5bmp,
+    scene_6bmp,
+    scene_7bmp,
+)
 
 REF_BMP = "/root/reference/images/7.bmp"
 
@@ -91,3 +96,42 @@ def test_reference_scene_matches_shipped_bmp():
     sky_ours = float(img[:20].mean())
     sky_ref = float(ref_ds[:20].mean())
     assert abs(sky_ours - sky_ref) < 0.05, (sky_ours, sky_ref)
+
+
+def _pin(bmp, colors, materials, spp=24, seed=0):
+    k = 8
+    side = 1080 // k
+    ref = sptio.read_bmp(bmp).astype(np.float32) / 255.0
+    ref_ds = ref.reshape(side, k, side, k, 3).mean(axis=(1, 3))
+    img = render_ref_exact(side=side, spp=spp, seed=seed, colors=colors,
+                           materials=materials)
+    corr = float(np.corrcoef(_lum(img).ravel(), _lum(ref_ds).ravel())[0, 1])
+    mad = float(np.abs(img - ref_ds).mean())
+    return corr, mad
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/images/5.bmp"),
+    reason="reference images absent",
+)
+def test_ref_exact_oracle_pins_5bmp():
+    """Round-4 forensics: 5.bmp = today's color table, all nine spheres
+    DIFFUSE (patch colorimetry, oracle/ref_exact.py docstring).  Measured
+    corr 0.986 / MAD 0.032 — as tight as the 7.bmp pin."""
+    corr, mad = _pin("/root/reference/images/5.bmp", *scene_5bmp())
+    assert corr >= 0.95, f"5.bmp correlation too low: {corr:.4f}"
+    assert mad <= 0.06, f"5.bmp MAD too large: {mad:.4f}"
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/images/6.bmp"),
+    reason="reference images absent",
+)
+def test_ref_exact_oracle_pins_6bmp():
+    """6.bmp = the 7-era purple colors[1] + a REFRACTIVE center sphere.
+    Measured corr 0.952 / MAD 0.037; the residual is the era glass's
+    near-white rendering, which the final code state's documented glass
+    (transmissive) cannot reproduce — see the oracle docstring."""
+    corr, mad = _pin("/root/reference/images/6.bmp", *scene_6bmp())
+    assert corr >= 0.92, f"6.bmp correlation too low: {corr:.4f}"
+    assert mad <= 0.07, f"6.bmp MAD too large: {mad:.4f}"
