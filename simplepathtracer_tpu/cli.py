@@ -144,7 +144,6 @@ def _invert_preset(args) -> int:
     # positions/albedos from target image via pixel-loss gradients".
     radii_n = np_.asarray(truth.radii)
     ground = int(np_.argmax(np_.abs(radii_n)))
-    delta = jnp.full_like(truth.albedo, 0.18).at[ground].set(0.0)
     centers_n = np_.asarray(truth.centers)
     cam_o = np_.asarray(camera.origin)
     prominence = np_.abs(radii_n) / np_.linalg.norm(centers_n - cam_o, axis=1)
@@ -153,6 +152,22 @@ def _invert_preset(args) -> int:
     # recoverable too, but hollow-glass SHELL PAIRS must move together and
     # pairing them here would complicate a demo whose point is config 4.
     prominence[np_.asarray(truth.material) != 0] = 0.0
+    # Freeze spheres outside a generous camera frustum: no primary ray
+    # ever sees them, so their pixel-loss gradient is pure Monte-Carlo
+    # noise and Adam's RMS normalization turns it into an O(lr * steps)
+    # random walk (inverse.fit docstring).  ~half the cover scene's 484
+    # spheres sit behind the 20-degree camera.
+    look = np_.asarray(camera.lookat) - cam_o
+    look = look / np_.linalg.norm(look)
+    to_c = centers_n - cam_o
+    cosang = (to_c @ look) / np_.maximum(
+        np_.linalg.norm(to_c, axis=1), 1e-6)
+    fov = float(np_.asarray(camera.vfov_deg))
+    aspect = config.width / config.height
+    half_diag = np_.radians(fov) * 0.5 * np_.sqrt(1.0 + aspect * aspect)
+    in_frustum = cosang > np_.cos(min(half_diag * 1.5, np_.pi / 2))
+    in_frustum[ground] = False
+    prominence[~in_frustum] = 0.0
     k_geo = min(6, int((prominence > 0).sum()))
     geo_idx = np_.argsort(-prominence)[:k_geo]
     # Deterministic sub-radius offsets (soft silhouettes need the
@@ -163,11 +178,14 @@ def _invert_preset(args) -> int:
     dirs /= np_.linalg.norm(dirs, axis=1, keepdims=True)
     c_delta = np_.zeros_like(centers_n)
     c_delta[geo_idx] = dirs * (0.35 * np_.abs(radii_n[geo_idx]))[:, None]
+    delta = jnp.asarray(in_frustum.astype(np_.float32))[:, None] * 0.18
     perturbed = truth.replace(
         albedo=jnp.clip(truth.albedo + delta, 0.03, 0.97),
         centers=truth.centers + jnp.asarray(c_delta),
     )
-    mask_a = {"albedo": jnp.ones_like(truth.albedo).at[ground].set(0.0)}
+    mask_a = {"albedo": jnp.asarray(
+        in_frustum.astype(np_.float32)[:, None] * np_.ones((1, 3), np_.float32)
+    )}
     mask_c = {"centers": jnp.asarray(
         (c_delta != 0).any(axis=1, keepdims=True)
         * np_.ones((1, 3), np_.float32))}
@@ -203,7 +221,9 @@ def _invert_preset(args) -> int:
     # against the hard target, then geometry with soft silhouettes against
     # a soft target (soft-to-soft objective, inverse.fit docstring).
     softness = 0.02
-    s1 = max(args.steps // 2, 1)
+    # Albedo converges in few steps; geometry needs the rest (its Adam
+    # steps are capped at ~lr per step).
+    s1 = max(args.steps // 3, 1)
     stage1, losses1 = inverse.fit(
         perturbed, target, camera, config, key, steps=s1, lr=args.lr,
         leaves=("albedo",), param_mask=mask_a, callback=cb("invert_albedo"),
@@ -217,7 +237,7 @@ def _invert_preset(args) -> int:
     )
     recovered, losses2 = inverse.fit(
         stage1, target_soft, camera, config, jax.random.fold_in(key, 1),
-        steps=args.steps - s1, lr=min(args.lr, 1e-2),
+        steps=args.steps - s1, lr=min(args.lr, 1.5e-2),
         leaves=("centers",), softness=softness, param_mask=mask_c,
         callback=cb("invert_centers"),
         balance=getattr(args, "balance", False), **snap_kw("centers"),

@@ -65,3 +65,28 @@ def test_iteration_counts_sane():
     assert c.shape == (cfg.num_pixels,)
     assert (c >= 4).all(), c.min()
     assert (c <= 4 * cfg.max_depth).all(), c.max()
+
+
+def test_fit_rebalance_matches_unbalanced():
+    """Round-4: balance=True re-probes the CURRENT scene every
+    rebalance_every steps.  The re-probed permutation changes lane
+    placement only — the fit trajectory must still match the unbalanced
+    one (same keys, same sample set, fp-tolerance losses)."""
+    from simplepathtracer_tpu import inverse
+
+    scene = spt.three_sphere_scene(hollow_glass=False)
+    cam = spt.make_camera(origin=(0, 0, -1), lookat=(0, 0, 1), vfov_deg=60)
+    cfg = spt.RenderConfig(width=32, height=16, spp=2, max_depth=4,
+                           use_pallas_grad=True, grad_regen=True,
+                           pallas_interpret=True)
+    key = jax.random.PRNGKey(2)
+    target = inverse.render_linear(scene, cam, cfg, jax.random.fold_in(key, 9))
+    perturbed = scene.replace(albedo=jnp.clip(scene.albedo + 0.2, 0.05, 0.95))
+    _, losses_u = inverse.fit(
+        perturbed, target, cam, cfg, key, steps=5, lr=3e-2, leaves=("albedo",)
+    )
+    _, losses_b = inverse.fit(
+        perturbed, target, cam, cfg, key, steps=5, lr=3e-2, leaves=("albedo",),
+        balance=True, rebalance_every=2,
+    )
+    np.testing.assert_allclose(losses_b, losses_u, rtol=1e-4)

@@ -5,13 +5,14 @@ they skip there); execute manually or from a TPU-attached session with:
 
     SPT_TPU_TESTS=1 python -m pytest tests/test_perf_tpu.py --no-header -q -p no:cacheprovider
 
-Thresholds sit at ~0.7x the round-3 driver-verified numbers (BENCH_r03:
-fwd 43.9 Mpaths/s no-RR, 54.9 with Russian roulette, per-bounce fwd+bwd
-11.0 at 8 spp/dispatch, regen fwd+bwd 22.2, sustained 100-spp preset 20.2
-via the streamed-idx default) so they catch real regressions, not machine
-variance.  All north-star metrics are guarded; round 2's guard was a
-stale 15M fwd floor that a 3x regression would have passed (VERDICT r2
-weak #3).
+Thresholds sit at ~0.7x the round-4 driver-verified numbers (BENCH_r04:
+fwd 43.8 Mpaths/s no-RR, 54.9 with Russian roulette, per-bounce fwd+bwd
+11.0 at 8 spp/dispatch, regen fwd+bwd 22.0, sustained 100-spp preset
+19.8, sustained WITH RR 24.5, sustained at the 500-spp north star 19.9
+via the packed streamed-idx path) so they catch real regressions, not
+machine variance.  All north-star metrics are guarded; round 2's guard
+was a stale 15M fwd floor that a 3x regression would have passed
+(VERDICT r2 weak #3).
 """
 
 import os
@@ -29,9 +30,14 @@ MIN_FWD_PATHS_PER_SEC = 30e6      # measured 43.9M on v5e (adaptive balancing)
 MIN_FWD_RR_PATHS_PER_SEC = 38e6   # measured 54.9M with rr_start_depth=2
 MIN_FWD_BWD_PATHS_PER_SEC = 7e6   # measured 11.0M (per-bounce, 8 spp/dispatch)
 MIN_FWD_BWD_REGEN_PATHS_PER_SEC = 15e6   # measured 22.2M (regen, 8 spp)
-MIN_FWD_BWD_SUSTAINED_PATHS_PER_SEC = 14e6  # measured 20.2M (100-spp preset,
+MIN_FWD_BWD_SUSTAINED_PATHS_PER_SEC = 14e6  # measured 19.8M (100-spp preset,
 #   streamed-idx path: idx-only forward + scan-free re-forward per chunk;
 #   the chunked-remat fallback measured 13.6M)
+MIN_FWD_BWD_SUSTAINED_RR_PATHS_PER_SEC = 17e6  # measured 24.5M (rr=2, the
+#   invert default since round 4)
+MIN_FWD_BWD_500SPP_PATHS_PER_SEC = 14e6  # measured 19.9M — the BASELINE
+#   metric's own 500-spp workload, streamed end-to-end via packed idx
+#   planes (round 3 fell back to 13.6M remat here)
 
 pytestmark = pytest.mark.skipif(
     jax.devices()[0].platform == "cpu" and not os.environ.get("JAX_REQUIRE_TPU_PERF"),
@@ -79,7 +85,7 @@ def test_cover_scene_forward_rr_threshold():
     assert pps > MIN_FWD_RR_PATHS_PER_SEC, f"fwd+RR {pps/1e6:.1f} Mpaths/s below threshold"
 
 
-def _grad_pps(scene, camera, spp, spp_chunk, grad_regen):
+def _grad_pps(scene, camera, spp, spp_chunk, grad_regen, rr=0):
     import jax.numpy as jnp
 
     from simplepathtracer_tpu import inverse
@@ -90,7 +96,7 @@ def _grad_pps(scene, camera, spp, spp_chunk, grad_regen):
             width=1200, height=800, spp=spp, max_depth=10,
             spp_chunk=spp_chunk, use_pallas=True,
         )
-    ).replace(rr_start_depth=0, grad_regen=grad_regen)
+    ).replace(rr_start_depth=rr, grad_regen=grad_regen)
     params, static_scene = inverse.split_params(scene)
     target = jnp.zeros((gcfg.height, gcfg.width, 3), jnp.float32)
     vg = jax.jit(jax.value_and_grad(inverse.pixel_loss), static_argnames=("config",))
@@ -130,4 +136,27 @@ def test_cover_scene_fwd_bwd_sustained_threshold():
     pps = _grad_pps(scene, camera, spp=100, spp_chunk=0, grad_regen=True)
     assert pps > MIN_FWD_BWD_SUSTAINED_PATHS_PER_SEC, (
         f"fwd+bwd sustained {pps/1e6:.1f} Mpaths/s below threshold"
+    )
+
+
+def test_cover_scene_fwd_bwd_sustained_rr_threshold():
+    """Sustained gradients WITH Russian roulette — the invert default
+    since round 4 (measured 1.24x the no-RR sustained rate)."""
+    scene, camera = _bench_setup()
+    pps = _grad_pps(scene, camera, spp=100, spp_chunk=0, grad_regen=True,
+                    rr=2)
+    assert pps > MIN_FWD_BWD_SUSTAINED_RR_PATHS_PER_SEC, (
+        f"fwd+bwd sustained+RR {pps/1e6:.1f} Mpaths/s below threshold"
+    )
+
+
+def test_cover_scene_fwd_bwd_500spp_threshold():
+    """The BASELINE.json metric line's own workload: fwd+bwd at 500 spp.
+    Round 4's packed idx planes (3 x 10-bit winners per word) keep the
+    streamed path engaged here; a capacity regression would silently drop
+    this to the ~13.6M remat fallback."""
+    scene, camera = _bench_setup()
+    pps = _grad_pps(scene, camera, spp=500, spp_chunk=0, grad_regen=True)
+    assert pps > MIN_FWD_BWD_500SPP_PATHS_PER_SEC, (
+        f"fwd+bwd 500spp {pps/1e6:.1f} Mpaths/s below threshold"
     )
