@@ -8,7 +8,16 @@ Emits the north-star numbers (BASELINE.json):
   * fwd_bwd_regen      — same dispatch on the regeneration kernels (the
                          default TPU gradient path since round 3)
   * fwd_bwd_sustained  — default path at the full 100-spp preset
-                         (spp-chunked: what `spt-render invert` sustains)
+                         (spp-chunked: what `spt-render invert` sustains),
+                         with the phase A / phase B decomposition of the
+                         streamed-idx schedule in the same row
+  * fwd_bwd_sustained_rr   — ditto with Russian roulette (the invert
+                         default since round 4; measured 1.24x)
+  * fwd_bwd_sustained_soft — ditto with the soft-silhouette blend
+                         (geometry-fit config; prices the in-bounce blend)
+  * fwd_bwd_sustained_500spp — the BASELINE.json metric's own 500-spp
+                         workload (streamed via packed idx planes)
+  * fwd_reference_scene — S=10 forward (overhead-dominated regime)
   * vpu_utilization    — achieved sphere-scan VPU tile-ops/cycle vs the
                          measured ~2.3 issue ceiling (the roofline check on
                          the "algorithm ceiling" claim, SURVEY.md S6)
@@ -447,6 +456,26 @@ def main():
         emit(result, partial_only=True)
     except Exception as e:
         errors.append(f"fwd_bwd_sustained_rr: {e!r}")
+
+    # --- fwd+bwd sustained WITH soft silhouettes (geometry-fit config):
+    # the in-bounce blend (round 4) keeps geometry recovery on the
+    # streamed kernels — this row prices the blend vs the plain row ------
+    try:
+        sil_dt, sil_compile = _bench_grad(
+            scene, camera, config.replace(silhouette_softness=0.02), key,
+            SUSTAINED_SPP, spp_chunk=0, reps=1,
+        )
+        sil_pps = WIDTH * HEIGHT * SUSTAINED_SPP / sil_dt
+        metrics.append({
+            "name": "fwd_bwd_sustained_soft_paths_per_sec",
+            "value": round(sil_pps, 1), "vs_baseline": vs(sil_pps),
+            "elapsed_s": round(sil_dt, 3),
+            "compile_plus_first_s": round(sil_compile, 1),
+            "spp": SUSTAINED_SPP, "silhouette_softness": 0.02,
+        })
+        emit(result, partial_only=True)
+    except Exception as e:
+        errors.append(f"fwd_bwd_sustained_soft: {e!r}")
 
     # --- fwd+bwd sustained at the NORTH-STAR 500 spp (BASELINE.json's own
     # metric line; packed idx planes keep the streamed path engaged) ------

@@ -152,22 +152,33 @@ def _invert_preset(args) -> int:
     # recoverable too, but hollow-glass SHELL PAIRS must move together and
     # pairing them here would complicate a demo whose point is config 4.
     prominence[np_.asarray(truth.material) != 0] = 0.0
-    # Freeze spheres outside a generous camera frustum: no primary ray
-    # ever sees them, so their pixel-loss gradient is pure Monte-Carlo
-    # noise and Adam's RMS normalization turns it into an O(lr * steps)
-    # random walk (inverse.fit docstring).  ~half the cover scene's 484
-    # spheres sit behind the 20-degree camera.
-    look = np_.asarray(camera.lookat) - cam_o
-    look = look / np_.linalg.norm(look)
-    to_c = centers_n - cam_o
-    cosang = (to_c @ look) / np_.maximum(
-        np_.linalg.norm(to_c, axis=1), 1e-6)
-    fov = float(np_.asarray(camera.vfov_deg))
-    aspect = config.width / config.height
-    half_diag = np_.radians(fov) * 0.5 * np_.sqrt(1.0 + aspect * aspect)
-    in_frustum = cosang > np_.cos(min(half_diag * 1.5, np_.pi / 2))
-    in_frustum[ground] = False
-    prominence[~in_frustum] = 0.0
+    # Fit only PRIMARY-VISIBLE spheres: one exact visibility probe
+    # (camera rays -> intersect_scene winner ids).  Everything else —
+    # behind the camera, outside the frustum, or occluded — gets a
+    # pixel-loss gradient that is pure Monte-Carlo noise, which Adam's
+    # RMS normalization turns into an O(lr * steps) random walk
+    # (inverse.fit docstring); ~half the cover scene's 484 spheres sit
+    # behind its 20-degree camera alone.
+    from .camera import generate_rays
+    from .ops.intersect import intersect_scene
+
+    # Quarter-resolution probe: intersect_scene materializes [rays,
+    # spheres] intermediates (full-res would be ~5 GB x several at cover
+    # scale), and spheres smaller than ~4 px are exactly the
+    # noise-dominated ones the mask should exclude anyway.
+    pw, ph = max(config.width // 4, 1), max(config.height // 4, 1)
+    pix = jnp.arange(pw * ph, dtype=jnp.int32)
+    o_p, d_p = generate_rays(
+        camera, pw, ph, pix, jnp.full((pw * ph, 4), 0.5, jnp.float32),
+    )
+    prim = intersect_scene(o_p, d_p, truth, config.t_min, config.t_max)
+    vis_idx = np_.unique(
+        np_.asarray(prim.index)[np_.asarray(prim.hit)]
+    )
+    visible = np_.zeros(len(radii_n), bool)
+    visible[vis_idx] = True
+    visible[ground] = False
+    prominence[~visible] = 0.0
     k_geo = min(6, int((prominence > 0).sum()))
     geo_idx = np_.argsort(-prominence)[:k_geo]
     # Deterministic sub-radius offsets (soft silhouettes need the
@@ -178,13 +189,13 @@ def _invert_preset(args) -> int:
     dirs /= np_.linalg.norm(dirs, axis=1, keepdims=True)
     c_delta = np_.zeros_like(centers_n)
     c_delta[geo_idx] = dirs * (0.35 * np_.abs(radii_n[geo_idx]))[:, None]
-    delta = jnp.asarray(in_frustum.astype(np_.float32))[:, None] * 0.18
+    delta = jnp.asarray(visible.astype(np_.float32))[:, None] * 0.18
     perturbed = truth.replace(
         albedo=jnp.clip(truth.albedo + delta, 0.03, 0.97),
         centers=truth.centers + jnp.asarray(c_delta),
     )
     mask_a = {"albedo": jnp.asarray(
-        in_frustum.astype(np_.float32)[:, None] * np_.ones((1, 3), np_.float32)
+        visible.astype(np_.float32)[:, None] * np_.ones((1, 3), np_.float32)
     )}
     mask_c = {"centers": jnp.asarray(
         (c_delta != 0).any(axis=1, keepdims=True)
@@ -235,10 +246,14 @@ def _invert_preset(args) -> int:
         truth, camera, _gsc(config).replace(silhouette_softness=softness),
         jax.random.fold_in(key, 999),
     )
+    # Phase 2 fits albedo AND centers jointly: with albedo frozen at its
+    # phase-1 residual, the center gradients partially chase shading error
+    # instead of geometry (measured drift at cover scale).
     recovered, losses2 = inverse.fit(
         stage1, target_soft, camera, config, jax.random.fold_in(key, 1),
-        steps=args.steps - s1, lr=min(args.lr, 1.5e-2),
-        leaves=("centers",), softness=softness, param_mask=mask_c,
+        steps=args.steps - s1, lr=min(args.lr, 1e-2),
+        leaves=("albedo", "centers"), softness=softness,
+        param_mask={**mask_a, **mask_c},
         callback=cb("invert_centers"),
         balance=getattr(args, "balance", False), **snap_kw("centers"),
     )
