@@ -179,13 +179,21 @@ def _invert_preset(args) -> int:
     visible[vis_idx] = True
     visible[ground] = False
     prominence[~visible] = 0.0
+    to_c = centers_n - cam_o
     k_geo = min(6, int((prominence > 0).sum()))
     geo_idx = np_.argsort(-prominence)[:k_geo]
-    # Deterministic sub-radius offsets (soft silhouettes need the
-    # perturbed and true silhouettes to overlap).
+    # Deterministic sub-radius offsets, projected TANGENTIAL to each
+    # sphere's view ray: soft silhouettes need the perturbed and true
+    # silhouettes to overlap, and a single-view Lambertian fit cannot
+    # observe depth shifts anyway (scale-distance ambiguity — a
+    # photogrammetry fact, not a solver property), so the demo perturbs
+    # the observable subspace it claims to recover.
     dirs = np_.asarray(
         [[1, 0, 0.5], [-1, 0.3, 0], [0.4, 0, -1], [-0.5, 0.2, 0.8],
          [0.9, 0, -0.3], [-0.2, 0.4, 1]], np_.float32)[:k_geo]
+    view = to_c[geo_idx] / np_.linalg.norm(
+        to_c[geo_idx], axis=1, keepdims=True)
+    dirs = dirs - np_.sum(dirs * view, axis=1, keepdims=True) * view
     dirs /= np_.linalg.norm(dirs, axis=1, keepdims=True)
     c_delta = np_.zeros_like(centers_n)
     c_delta[geo_idx] = dirs * (0.35 * np_.abs(radii_n[geo_idx]))[:, None]
@@ -211,11 +219,13 @@ def _invert_preset(args) -> int:
         return float(d.sum() / n_fit), float(d.max())
 
     def center_err(scene):
-        d = jnp.abs(scene.centers - truth.centers)[jnp.asarray(geo_idx)]
-        return float(d.max())
+        d = np_.linalg.norm(
+            np_.asarray(scene.centers - truth.centers)[geo_idx], axis=1
+        )
+        return float(d.mean()), float(d.max())
 
     err0_mean, err0_max = albedo_err(perturbed)
-    cerr0 = center_err(perturbed)
+    cerr0_mean, cerr0 = center_err(perturbed)
     before = inverse.render_linear(perturbed, camera, rcfg, key)
 
     def cb(phase):
@@ -259,7 +269,7 @@ def _invert_preset(args) -> int:
     )
     losses = losses1 + losses2
     err1_mean, err1_max = albedo_err(recovered)
-    cerr1 = center_err(recovered)
+    cerr1_mean, cerr1 = center_err(recovered)
     after = inverse.render_linear(recovered, camera, rcfg, key)
     meter.emit({
         "phase": "invert_done", "preset": args.preset,
@@ -269,6 +279,8 @@ def _invert_preset(args) -> int:
         "albedo_maxerr_before": err0_max, "albedo_maxerr_after": err1_max,
         "center_spheres": [int(i) for i in geo_idx],
         "center_err_before": cerr0, "center_err_after": cerr1,
+        "center_err_mean_before": cerr0_mean,
+        "center_err_mean_after": cerr1_mean,
     })
     if args.output:
         trip = np.concatenate(
