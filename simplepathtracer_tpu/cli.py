@@ -124,6 +124,13 @@ def _invert_preset(args) -> int:
         config = config.replace(rr_start_depth=2)
     if getattr(args, "grad_regen", False):
         config = config.replace(grad_regen=True)
+    # Cost-balanced lane assignment defaults ON for TPU fits: measured
+    # +7% sustained gradient rate (26.3 vs 24.6 Mpaths/s at the 100-spp
+    # preset with RR), values bit-unchanged (randomness is keyed by
+    # global pixel id); --no-balance opts out.
+    balance = (
+        getattr(args, "balance", False) or jax.default_backend() == "tpu"
+    ) and not getattr(args, "no_balance", False)
     key = jax.random.PRNGKey(args.seed)
     gcfg = grad_safe_config(config)
     # Artifact/target renders are forward-only: strip the gradient kernels
@@ -219,6 +226,8 @@ def _invert_preset(args) -> int:
         return float(d.sum() / n_fit), float(d.max())
 
     def center_err(scene):
+        if k_geo == 0:  # tiny probes can leave no geometry candidates
+            return 0.0, 0.0
         d = np_.linalg.norm(
             np_.asarray(scene.centers - truth.centers)[geo_idx], axis=1
         )
@@ -248,7 +257,7 @@ def _invert_preset(args) -> int:
     stage1, losses1 = inverse.fit(
         perturbed, target, camera, config, key, steps=s1, lr=args.lr,
         leaves=("albedo",), param_mask=mask_a, callback=cb("invert_albedo"),
-        balance=getattr(args, "balance", False), **snap_kw("albedo"),
+        balance=balance, **snap_kw("albedo"),
     )
     from .render import grad_safe_config as _gsc
 
@@ -259,13 +268,14 @@ def _invert_preset(args) -> int:
     # Phase 2 fits albedo AND centers jointly: with albedo frozen at its
     # phase-1 residual, the center gradients partially chase shading error
     # instead of geometry (measured drift at cover scale).
+    phase2_leaves = ("albedo", "centers") if k_geo else ("albedo",)
+    phase2_mask = {**mask_a, **mask_c} if k_geo else mask_a
     recovered, losses2 = inverse.fit(
         stage1, target_soft, camera, config, jax.random.fold_in(key, 1),
         steps=args.steps - s1, lr=min(args.lr, 1e-2),
-        leaves=("albedo", "centers"), softness=softness,
-        param_mask={**mask_a, **mask_c},
+        leaves=phase2_leaves, softness=softness, param_mask=phase2_mask,
         callback=cb("invert_centers"),
-        balance=getattr(args, "balance", False), **snap_kw("centers"),
+        balance=balance, **snap_kw("centers"),
     )
     losses = losses1 + losses2
     err1_mean, err1_max = albedo_err(recovered)
@@ -437,9 +447,14 @@ def main(argv=None) -> int:
     i.add_argument("--snapshot-every", dest="snapshot_every", type=int, default=10)
     i.add_argument(
         "--balance", action="store_true",
-        help="probe per-pixel cost once and fit in cost-balanced pixel "
-             "order (evens the banked gradient kernels' lane work; values "
-             "are unchanged — randomness is keyed by global pixel id)",
+        help="probe per-pixel cost and fit in cost-balanced pixel order "
+             "(evens the banked gradient kernels' lane work; values are "
+             "unchanged — randomness is keyed by global pixel id). "
+             "Default on TPU; measured +7%% sustained",
+    )
+    i.add_argument(
+        "--no-balance", dest="no_balance", action="store_true",
+        help="disable cost-balanced pixel order (TPU default is on)",
     )
     i.add_argument("-o", "--output", default=None)
     i.add_argument("-q", "--quiet", action="store_true")
