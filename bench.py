@@ -495,6 +495,25 @@ def main():
     except Exception as e:
         errors.append(f"fwd_bwd_sustained_500spp: {e!r}")
 
+    # --- the same 500-spp workload with Russian roulette (the production
+    # fit default): the headline gradient number ---------------------------
+    try:
+        nsr_dt, nsr_compile = _bench_grad(
+            scene, camera, config, key, NORTH_STAR_SPP, spp_chunk=0, reps=1,
+            rr=2,
+        )
+        nsr_pps = WIDTH * HEIGHT * NORTH_STAR_SPP / nsr_dt
+        metrics.append({
+            "name": "fwd_bwd_sustained_500spp_rr_paths_per_sec",
+            "value": round(nsr_pps, 1), "vs_baseline": vs(nsr_pps),
+            "elapsed_s": round(nsr_dt, 3),
+            "compile_plus_first_s": round(nsr_compile, 1),
+            "spp": NORTH_STAR_SPP, "rr_start_depth": 2,
+        })
+        emit(result, partial_only=True)
+    except Exception as e:
+        errors.append(f"fwd_bwd_sustained_500spp_rr: {e!r}")
+
     # --- reference scene (S=10) forward row: the scan is ~50x lighter, so
     # per-iteration overhead dominates — a different regime to guard
     # (VERDICT r3 weak 7).  Same image shape for comparability. ----------
