@@ -131,6 +131,10 @@ def _invert_preset(args) -> int:
     balance = (
         getattr(args, "balance", False) or jax.default_backend() == "tpu"
     ) and not getattr(args, "no_balance", False)
+    if balance and config.grad_regen_banks == 0:
+        # Measured best with cost-balanced lanes: 16 banks (26.9 Mpaths/s
+        # sustained+RR vs 25.6 at the unbalanced default 12).
+        config = config.replace(grad_regen_banks=16)
     key = jax.random.PRNGKey(args.seed)
     gcfg = grad_safe_config(config)
     # Artifact/target renders are forward-only: strip the gradient kernels

@@ -75,7 +75,12 @@ _BLOCK = _SUB * _LANE
 # step (9 was measured perf-neutral vs the round-3 value 8 — the per-step
 # VMEM window grows 12.5%, well inside budget).
 _CHUNK = 9
-DEFAULT_BANKS = 8   # pixels per lane (chains/lane = banks * n_samples)
+# Pixels per lane (chains/lane = banks * n_samples).  Swept on chip at the
+# 100-spp sustained + RR row (round 4): 8/12/16 -> 24.6/25.6/24.8 Mpaths/s
+# unbalanced (more banks shrink the straggler tail ~1/sqrt(chains) until
+# bank-select cost wins); with cost-balanced pixel order 16 banks is best
+# (26.9 vs 26.3) — the invert CLI pins that combination.
+DEFAULT_BANKS = 12
 
 # Streamed-idx plane packing: 3 winner indices per i32 word, 10 bits each
 # (idx+1 in [0, s_pad]; 0 = miss/dead).  Triples the spp the streamed
