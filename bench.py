@@ -158,7 +158,7 @@ def _bench_forward(accumulate, init_state, scene, camera, config, key, spp):
 
 
 def _bench_grad(scene, camera, config, key, spp, spp_chunk, reps=2,
-                regen=None, rr=0, fwd_only=False):
+                regen=None, rr=0, fwd_only=False, balance=False):
     """Steady-state seconds for one jitted value_and_grad of the pixel MSE.
 
     ``fwd_only=True`` times the loss FORWARD alone (no grad) under the
@@ -184,18 +184,28 @@ def _bench_grad(scene, camera, config, key, spp, spp_chunk, reps=2,
     ).replace(rr_start_depth=rr)
     if regen is not None:
         gcfg = gcfg.replace(grad_regen=regen)
+    if balance:
+        # The production invert configuration: cost-balanced pixel order
+        # + 16 banks (measured best together; cli._invert_preset pins it).
+        from simplepathtracer_tpu.render import balanced_pixel_perm
+
+        gcfg = gcfg.replace(grad_regen_banks=16)
+        perm = balanced_pixel_perm(scene, camera, gcfg, key)
+    else:
+        perm = None
     params, static_scene = inverse.split_params(scene)
     target = jnp.zeros((gcfg.height, gcfg.width, 3), jnp.float32)
     if fwd_only:
-        fn = jax.jit(inverse.pixel_loss, static_argnames=("config",))
+        fn = jax.jit(inverse.pixel_loss, static_argnames=("config", "leaves"))
     else:
         fn = jax.jit(
             jax.value_and_grad(inverse.pixel_loss),
-            static_argnames=("config",),
+            static_argnames=("config", "leaves"),
         )
 
     def run():
-        out = fn(params, static_scene, target, camera, gcfg, key)
+        out = fn(params, static_scene, target, camera, gcfg, key,
+                 leaves=inverse.DIFF_LEAVES, pixel_perm=perm)
         loss = out[0] if isinstance(out, tuple) else out
         np.asarray(loss)  # sync (scalar fetch is cheap)
         return loss
@@ -456,6 +466,25 @@ def main():
         emit(result, partial_only=True)
     except Exception as e:
         errors.append(f"fwd_bwd_sustained_rr: {e!r}")
+
+    # --- fwd+bwd sustained, BALANCED + RR (the exact configuration the
+    # invert CLI runs on TPU: cost-balanced pixel order + 16 banks) -------
+    try:
+        bal_dt, bal_compile = _bench_grad(
+            scene, camera, config, key, SUSTAINED_SPP, spp_chunk=0, reps=1,
+            rr=2, balance=True,
+        )
+        bal_pps = WIDTH * HEIGHT * SUSTAINED_SPP / bal_dt
+        metrics.append({
+            "name": "fwd_bwd_sustained_rr_balanced_paths_per_sec",
+            "value": round(bal_pps, 1), "vs_baseline": vs(bal_pps),
+            "elapsed_s": round(bal_dt, 3),
+            "compile_plus_first_s": round(bal_compile, 1),
+            "spp": SUSTAINED_SPP, "rr_start_depth": 2, "banks": 16,
+        })
+        emit(result, partial_only=True)
+    except Exception as e:
+        errors.append(f"fwd_bwd_sustained_rr_balanced: {e!r}")
 
     # --- fwd+bwd sustained WITH soft silhouettes (geometry-fit config):
     # the in-bounce blend (round 4) keeps geometry recovery on the

@@ -139,8 +139,10 @@ def grad_safe_config(config: RenderConfig) -> RenderConfig:
     gradient path instead of crashing deep inside shard_map.
 
     On kernel backends the regeneration kernels (grad_regen) are the
-    default gradient path; render_pixel_block falls back to the per-bounce
-    fused kernels (or the jnp bounce) for the scenes they don't cover.
+    default gradient path; since round 4 they cover every scene class
+    (plane scenes and soft silhouettes included), so the per-bounce fused
+    kernels remain only as the A/B baseline and the explicit-ray
+    trace_rays entry.
 
     Also bounds the differentiated rays per chunk: the backward pass keeps
     per-(ray, bounce) residuals alive (regen path: 136 B per lane
@@ -162,9 +164,8 @@ def grad_safe_config(config: RenderConfig) -> RenderConfig:
             use_pallas_grad=config.use_pallas_grad or on_kernel_backend,
             use_pallas_hits=config.use_pallas_hits or on_kernel_backend,
             # Regeneration kernels are the production TPU gradient path
-            # (2x the per-bounce fused path: 22.2 vs 11.0 Mpaths/s at
-            # bench scale, BENCH_r03).  render_pixel_block still falls
-            # back per-scene (plane / soft-silhouette entry points).
+            # (2x the per-bounce fused path at bench scale, BENCH_r03/r04)
+            # and cover every scene class since round 4.
             grad_regen=config.grad_regen or on_kernel_backend,
         )
     if config.spp_chunk == 0:

@@ -181,8 +181,9 @@ class RenderConfig:
     # path, record only the winner-index plane during the forward and
     # replace each remat re-forward with a scan-free replay (recorded idx
     # + one-hot MXU attribute gather) — the sphere scan is ~85% of the
-    # re-forward it eliminates.  Falls back to chunked remat when the idx
-    # planes for all spp would exceed the memory budget.
+    # re-forward it eliminates.  The planes pack 3 winner indices per i32
+    # word (round 4, ~500 spp at bench shape); past the budget it falls
+    # back to chunked remat (the measured-faster beyond-capacity schedule).
     grad_regen_stream: bool = True
     pallas_interpret: bool = False  # run the kernels interpreted (CPU tests)
     # Soft-silhouette blend width for the first bounce (0 = hard edges).
