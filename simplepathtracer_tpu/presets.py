@@ -61,6 +61,18 @@ PRESETS = {
         config=RenderConfig(width=1200, height=800, spp=100, max_depth=10,
                             spp_chunk=0, use_pallas=True),
     ),
+    # Infinite Lambertian ground plane (the reference's dead plane code,
+    # live here in every path including the gradient kernels — round 4)
+    "three_sphere_plane": Preset(
+        name="three_sphere_plane",
+        description="Lambertian/metal/glass trio on an INFINITE plane, 400x200 @ 64spp",
+        scene_fn=lambda key: scenes.with_ground_plane(
+            scenes.three_sphere_scene(hollow_glass=True)
+        ),
+        camera_fn=lambda: make_camera(origin=(0, 0, -1), lookat=(0, 0, 1), vfov_deg=90),
+        config=RenderConfig(width=400, height=200, spp=64, max_depth=10,
+                            use_pallas=True),
+    ),
     # The reference's own two scenes (SceneGenerators.hpp:68 / :6)
     "reference": Preset(
         name="reference",
