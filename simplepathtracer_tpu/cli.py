@@ -251,6 +251,23 @@ def _invert_preset(args) -> int:
         dict(snapshot_path=f"{args.snapshot}.{ph}.npz",
              snapshot_every=args.snapshot_every) if args.snapshot else {}
     )
+    # spp beyond the streamed-idx capacity (e.g. the cover_multihost
+    # preset's 2000 on a single chip): switch to optimizer-level gradient
+    # accumulation (independent-pair estimator, inverse.make_accum_grad_
+    # step) — the monolithic program would fall back to slow remat or
+    # outgrow the worker.  Measured: 17.2 Mpaths/s for the full 2000-spp
+    # step in 4 groups.
+    from .render import stream_capacity_spp
+
+    cap = stream_capacity_spp(config, truth)
+    grad_accum = 0
+    if cap and config.spp > cap:
+        grad_accum = next(
+            k for k in range(2, config.spp + 1)
+            if config.spp % k == 0 and config.spp // k <= cap
+        )
+        meter.emit({"phase": "grad_accum", "groups": grad_accum,
+                    "spp_per_group": config.spp // grad_accum})
     # Two-phase coordinate descent (same shape as the small demo): albedo
     # against the hard target, then geometry with soft silhouettes against
     # a soft target (soft-to-soft objective, inverse.fit docstring).
@@ -261,7 +278,8 @@ def _invert_preset(args) -> int:
     stage1, losses1 = inverse.fit(
         perturbed, target, camera, config, key, steps=s1, lr=args.lr,
         leaves=("albedo",), param_mask=mask_a, callback=cb("invert_albedo"),
-        balance=balance, **snap_kw("albedo"),
+        balance=balance and not grad_accum, grad_accum=grad_accum,
+        **snap_kw("albedo"),
     )
     from .render import grad_safe_config as _gsc
 
@@ -279,7 +297,8 @@ def _invert_preset(args) -> int:
         steps=args.steps - s1, lr=min(args.lr, 1e-2),
         leaves=phase2_leaves, softness=softness, param_mask=phase2_mask,
         callback=cb("invert_centers"),
-        balance=balance, **snap_kw("centers"),
+        balance=balance and not grad_accum, grad_accum=grad_accum,
+        **snap_kw("centers"),
     )
     losses = losses1 + losses2
     err1_mean, err1_max = albedo_err(recovered)

@@ -21,6 +21,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from .render import grad_safe_config, render_sample_batch
@@ -79,6 +80,74 @@ def pixel_loss(params, static_scene, target, camera, config, key, leaves=DIFF_LE
         return jnp.mean((acc / config.spp - t) ** 2)
     img = render_linear(scene, camera, config, key)
     return jnp.mean((img - target) ** 2)
+
+
+def make_accum_grad_step(static_scene, target, camera, config,
+                         n_groups: int):
+    """Gradient-accumulated loss/grad for spp beyond one dispatch's budget.
+
+    For very high spp (e.g. BASELINE config 5's 2000 on a single chip) a
+    monolithic ``value_and_grad`` either falls back to the slower chunked
+    remat or outgrows the worker entirely.  This splits the work at the
+    OPTIMIZER level with the independent-pair estimator:
+
+      * one fast FORWARD-ONLY render of all spp (the persistent kernel if
+        the preset uses it) produces the image and the pixel cotangent
+        ct = 2 (img - target) / N, with an INDEPENDENT key;
+      * the gradient is assembled as sum_k vjp_k(ct) over ``n_groups``
+        disjoint sample ranges, each its own jitted call (one group's
+        streamed residuals alive at a time).
+
+    Because the residual factor (img - target) and the differentiated
+    factor use independent samples, E[ct . grad_k] factorizes — this is
+    UNBIASED for the true objective grad E[img], and in fact drops the
+    per-batch variance-gradient term the naive single-sample-set MSE
+    estimator carries.  Values are NOT bitwise comparable to pixel_loss
+    (different estimator, same minimizer); linearity of the vjp
+    accumulation IS exact and tested.
+
+    Returns ``step(params, key) -> (loss, grads)``.
+    """
+    import functools as _ft
+
+    from .render import grad_safe_config as _gsc
+
+    gcfg = _gsc(config)
+    assert config.spp % n_groups == 0, (config.spp, n_groups)
+    sub_spp = config.spp // n_groups
+    fwd_cfg = config if config.use_pallas else gcfg
+
+    @_ft.partial(jax.jit, static_argnames=())
+    def _fwd_image(params, key):
+        scene = merge_params(params, static_scene)
+        return render_linear(scene, camera, fwd_cfg, key)
+
+    @jax.jit
+    def _group_grad(params, ct, key, offset):
+        def f(p):
+            scene = merge_params(p, static_scene)
+            acc = render_sample_batch(
+                scene, camera, gcfg.replace(spp=sub_spp), key, offset,
+                sub_spp,
+            )
+            return acc.reshape(target.shape) / config.spp
+
+        _, pull = jax.vjp(f, params)
+        return pull(ct)[0]
+
+    def step(params, key):
+        img = _fwd_image(params, jax.random.fold_in(key, 7777))
+        loss = jnp.mean((img - target) ** 2)
+        ct = 2.0 * (img - target) / float(np.prod(target.shape))
+        grads = None
+        for k in range(n_groups):
+            g = _group_grad(params, ct, key, k * sub_spp)
+            grads = g if grads is None else jax.tree.map(
+                lambda a, b: a + b, grads, g
+            )
+        return loss, grads
+
+    return step
 
 
 class InverseState(NamedTuple):
@@ -158,8 +227,16 @@ def fit(
     snapshot_every: int = 0,
     balance: bool = False,
     rebalance_every: int = 25,
+    grad_accum: int = 0,
 ):
     """Adam-optimize the scene's differentiable leaves against a target.
+
+    ``grad_accum=K > 0`` switches each step to the gradient-accumulated
+    independent-pair estimator (make_accum_grad_step): one fast forward of
+    all spp for the image/cotangent, then K disjoint-sample vjp calls — for
+    spp beyond one dispatch's streamed-idx budget (BASELINE config 5 on a
+    single chip).  Incompatible with ``balance`` (the accumulation path
+    renders in image order).
 
     ``balance=True`` probes per-pixel cost with the forward persistent
     kernel (TPU or interpret mode) and renders every step in the
@@ -212,10 +289,15 @@ def fit(
     ):
         config = config.replace(use_pallas_grad=True)
     pixel_perm = None
-    if balance:
+    if balance and not grad_accum:
         from .render import balanced_pixel_perm
 
         pixel_perm = balanced_pixel_perm(scene_init, camera, config, key)
+
+    accum_step = (
+        make_accum_grad_step(static_scene, target, camera, config, grad_accum)
+        if grad_accum else None
+    )
 
     @jax.jit
     def step_fn(params, opt_state, step_key, pixel_perm):
@@ -238,6 +320,23 @@ def fit(
             }
         return params, opt_state, loss
 
+    @jax.jit
+    def apply_fn(params, opt_state, grads):
+        if param_mask is not None:
+            grads = {
+                k: g * param_mask[k] if k in param_mask else g
+                for k, g in grads.items()
+            }
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if param_mask is not None:
+            params = {
+                k: jnp.where(param_mask[k] > 0, p, getattr(scene_init, k))
+                if k in param_mask else p
+                for k, p in params.items()
+            }
+        return params, opt_state
+
     losses = []
     start = 0
     if snapshot_path and os.path.exists(snapshot_path):
@@ -246,16 +345,20 @@ def fit(
         )
     for i in range(start, steps):
         if (
-            balance and rebalance_every and i > start
+            balance and not grad_accum and rebalance_every and i > start
             and (i - start) % rebalance_every == 0
         ):
             pixel_perm = balanced_pixel_perm(
                 merge_params(params, static_scene), camera, config,
                 jax.random.fold_in(key, 100_000 + i),
             )
-        params, opt_state, loss = step_fn(
-            params, opt_state, jax.random.fold_in(key, i), pixel_perm
-        )
+        if accum_step is not None:
+            loss, grads = accum_step(params, jax.random.fold_in(key, i))
+            params, opt_state = apply_fn(params, opt_state, grads)
+        else:
+            params, opt_state, loss = step_fn(
+                params, opt_state, jax.random.fold_in(key, i), pixel_perm
+            )
         losses.append(float(loss))
         if callback is not None:
             callback(i, losses[-1], params)

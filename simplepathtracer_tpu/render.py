@@ -127,6 +127,19 @@ _GRAD_ITER_BUDGET_REGEN = 48_000_000
 _IDX_PLANE_BUDGET = 6 << 30
 
 
+def stream_capacity_spp(config: RenderConfig, scene) -> int:
+    """Largest spp whose packed idx planes fit the streamed-gradient
+    budget for this (config, scene) — the same gate render_pixel_block
+    applies.  0 when the scene can't stream at all (sphere table too
+    large for the 10-bit pack)."""
+    from .ops.pallas_grad_regen import IDX_PACK_MAX_SPHERES, _IDX_PACK
+
+    if scene.num_spheres > IDX_PACK_MAX_SPHERES:
+        return 0
+    per_spp = 4 * config.num_pixels * max(1, config.max_depth)
+    return int(_IDX_PACK * _IDX_PLANE_BUDGET // per_spp)
+
+
 def grad_safe_config(config: RenderConfig) -> RenderConfig:
     """Downgrade a config for use under ``jax.grad``.
 

@@ -251,3 +251,66 @@ def test_fit_sharded_recovers_albedo(tmp_path):
         np.asarray(resumed.albedo), np.asarray(recovered.albedo)
     )
     assert losses_r[8:] == losses[8:]
+
+
+def test_grad_accum_vjp_linearity():
+    """The gradient-accumulated estimator's accumulation is EXACT: with the
+    same cotangent, sum_k vjp over disjoint sample groups equals the vjp of
+    the full-spp render (linearity of accumulation over sample ids)."""
+    import numpy as np
+
+    scene = spt.three_sphere_scene(hollow_glass=False)
+    cam = spt.make_camera(origin=(0, 0, -1), lookat=(0, 0, 1), vfov_deg=60)
+    cfg = spt.RenderConfig(width=16, height=8, spp=4, max_depth=3)
+    key = jax.random.PRNGKey(3)
+    params, ss = inverse.split_params(scene)
+    ct = jax.random.normal(jax.random.PRNGKey(9), (8, 16, 3), jnp.float32)
+
+    from simplepathtracer_tpu.render import render_sample_batch
+
+    def f_full(p):
+        acc = render_sample_batch(
+            inverse.merge_params(p, ss), cam, cfg, key, 0, 4
+        )
+        return acc.reshape(8, 16, 3) / 4.0
+
+    _, pull = jax.vjp(f_full, params)
+    g_full = pull(ct)[0]
+
+    def f_group(p, off):
+        acc = render_sample_batch(
+            inverse.merge_params(p, ss), cam, cfg.replace(spp=2), key, off, 2
+        )
+        return acc.reshape(8, 16, 3) / 4.0
+
+    g_sum = None
+    for off in (0, 2):
+        _, pull_k = jax.vjp(lambda p: f_group(p, off), params)
+        g = pull_k(ct)[0]
+        g_sum = g if g_sum is None else jax.tree.map(
+            lambda a, b: a + b, g_sum, g
+        )
+    for k in g_full:
+        np.testing.assert_allclose(
+            np.asarray(g_sum[k]), np.asarray(g_full[k]), rtol=1e-5,
+            atol=1e-7, err_msg=k,
+        )
+
+
+def test_grad_accum_fit_recovers_albedo():
+    """End-to-end: fit(grad_accum=2) optimizes with the independent-pair
+    estimator — the path BASELINE config 5's 2000 spp takes on one chip."""
+    scene = spt.three_sphere_scene(hollow_glass=False)
+    cam = spt.make_camera(origin=(0, 0, -1), lookat=(0, 0, 1), vfov_deg=60)
+    cfg = spt.RenderConfig(width=24, height=12, spp=8, max_depth=3)
+    key = jax.random.PRNGKey(2)
+    target = inverse.render_linear(scene, cam, cfg, jax.random.fold_in(key, 9))
+    perturbed = scene.replace(albedo=jnp.clip(scene.albedo + 0.25, 0.05, 0.95))
+    recovered, losses = inverse.fit(
+        perturbed, target, cam, cfg, key, steps=12, lr=5e-2,
+        leaves=("albedo",), grad_accum=2,
+    )
+    assert losses[-1] < losses[0] * 0.7, losses[::4]
+    err0 = float(jnp.abs(perturbed.albedo - scene.albedo).mean())
+    err1 = float(jnp.abs(recovered.albedo - scene.albedo).mean())
+    assert err1 < err0 * 0.7, (err0, err1)
