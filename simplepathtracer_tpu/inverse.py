@@ -115,7 +115,14 @@ def make_accum_grad_step(static_scene, target, camera, config,
     gcfg = _gsc(config)
     assert config.spp % n_groups == 0, (config.spp, n_groups)
     sub_spp = config.spp // n_groups
-    fwd_cfg = config if config.use_pallas else gcfg
+    # The value-pass image must see the SAME estimator as the gradient
+    # groups: the forward-only persistent kernel ignores soft silhouettes,
+    # so soft configs take the gradient-path primal instead.
+    fwd_cfg = (
+        config
+        if config.use_pallas and config.silhouette_softness == 0.0
+        else gcfg
+    )
 
     @_ft.partial(jax.jit, static_argnames=())
     def _fwd_image(params, key):
