@@ -260,8 +260,8 @@ def _invert_preset(args) -> int:
     from .render import stream_capacity_spp
 
     cap = stream_capacity_spp(config, truth)
-    grad_accum = 0
-    if cap and config.spp > cap:
+    grad_accum = getattr(args, "grad_accum", 0) or 0
+    if not grad_accum and cap and config.spp > cap:
         grad_accum = next(
             k for k in range(2, config.spp + 1)
             if config.spp % k == 0 and config.spp // k <= cap
@@ -453,6 +453,12 @@ def main(argv=None) -> int:
     i.add_argument(
         "--grad-regen", dest="grad_regen", action="store_true",
         help="use the regeneration gradient kernels (ops/pallas_grad_regen)",
+    )
+    i.add_argument(
+        "--grad-accum", dest="grad_accum", type=int, default=0, metavar="K",
+        help="split each step's spp into K independent-pair gradient "
+             "groups (auto-picked when spp exceeds the streamed-idx "
+             "capacity; see inverse.make_accum_grad_step)",
     )
     i.add_argument("--steps", type=int, default=60)
     i.add_argument("--lr", type=float, default=2e-2)
