@@ -350,17 +350,22 @@ def _grad_bwd_kernel(
         sil = None
         if softness > 0.0:
             sil = (jnp.ones(shape, jnp.float32), softness)
-        sky6 = tuple(sky_ref[i] for i in range(6))
+        # Sky enters the vjp as BROADCAST TILES so its adjoint (including
+        # the soft-silhouette blend's (1 - w) * sky term, which a manual
+        # miss-shader-only accumulation missed — caught by the round-4
+        # combined-features test) comes from the same traced pullback as
+        # every other leaf.
+        skyt = tuple(jnp.full(shape, sky_ref[i]) for i in range(6))
 
-        def f(o3, d3, tp3, a9):
+        def f(o3, d3, tp3, a9, sky6):
             return bounce_tile(
                 o3, d3, tp3, a9, mat, hit, alive, u, sky6, do_rr,
                 t_min=t_min, t_max=t_max, rr_on=bool(rr_start_depth),
                 silhouette=sil,
             )[:4]
 
-        _, pull = jax.vjp(f, o3, d3, tp3, a9)
-        ct_o, ct_d, ct_tp, ct_a9 = pull((
+        _, pull = jax.vjp(f, o3, d3, tp3, a9, skyt)
+        ct_o, ct_d, ct_tp, ct_a9, ct_sky = pull((
             (cox_ref[:], coy_ref[:], coz_ref[:]),
             (cdx_ref[:], cdy_ref[:], cdz_ref[:]),
             (ctr_ref[:], ctg_ref[:], ctb_ref[:]),
@@ -375,15 +380,8 @@ def _grad_bwd_kernel(
         attr_outs = (a_cx, a_cy, a_cz, a_r, a_ar, a_ag, a_ab, a_fz, a_io)
         for ref, ct in zip(attr_outs, ct_a9):
             ref[:] = jnp.where(hit, ct, 0.0)
-        # Sky cotangent partials (rad_c = tp_c * lerp(lo_c, hi_c, s01) * miss).
-        miss_f = jnp.where(alive & ~hit, 1.0, 0.0)
-        s01 = 0.5 * (d3[1] + 1.0)
-        w_lo = miss_f * (1.0 - s01)
-        w_hi = miss_f * s01
-        ctrad = (crr_ref[:], crg_ref[:], crb_ref[:])
-        for c in range(3):
-            sky_accs[c][:] = sky_accs[c][:] + ctrad[c] * tp3[c] * w_lo
-            sky_accs[3 + c][:] = sky_accs[3 + c][:] + ctrad[c] * tp3[c] * w_hi
+        for c in range(6):
+            sky_accs[c][:] = sky_accs[c][:] + ct_sky[c]
 
     def skip():
         # Fully-dead block: the bounce was the identity on (o, d, tp).

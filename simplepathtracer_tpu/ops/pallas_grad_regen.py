@@ -433,19 +433,23 @@ def _regen_bwd_kernel(
                     sil = (jnp.where(idxv != PLANE_IDX, 1.0, 0.0), softness)
                 else:
                     sil = (jnp.ones(shape, f32), softness)
-            sky6 = tuple(sky_ref[i2] for i2 in range(6))
+            # Sky as broadcast tiles: its adjoint (incl. the silhouette
+            # blend's (1 - w) * sky term) rides the same pullback — the
+            # manual miss-only accumulation missed the blend term (caught
+            # by the round-4 combined-features test).
+            skyt = tuple(jnp.full(shape, sky_ref[i2]) for i2 in range(6))
 
             pm = (idxv == PLANE_IDX) if use_plane else None
 
-            def f(o3, d3, tp3, a9):
+            def f(o3, d3, tp3, a9, sky6):
                 return bounce_tile(
                     o3, d3, tp3, a9, mat, hit, alive, u, sky6, do_rr,
                     t_min=t_min, t_max=t_max, rr_on=bool(rr_start_depth),
                     silhouette=sil, plane_mask=pm,
                 )[:4]
 
-            _, pull = jax.vjp(f, o3, d3, tp3, a9)
-            ct_o, ct_d, ct_tp, ct_a9 = pull((
+            _, pull = jax.vjp(f, o3, d3, tp3, a9, skyt)
+            ct_o, ct_d, ct_tp, ct_a9, ct_sky = pull((
                 (cox_s[:], coy_s[:], coz_s[:]),
                 (cdx_s[:], cdy_s[:], cdz_s[:]),
                 (ctr_s[:], ctg_s[:], ctb_s[:]),
@@ -453,6 +457,8 @@ def _regen_bwd_kernel(
             ))
             for ref, ct in zip(attr_outs, ct_a9):
                 ref[kl] = jnp.where(hit, ct, 0.0)
+            for c in range(6):
+                sky_accs[c][:] = sky_accs[c][:] + ct_sky[c]
             if use_plane:
                 # Plane cotangents: with the (normal, offset) winner
                 # encoding, bounce_tile differentiates the TRUE plane
@@ -464,15 +470,6 @@ def _regen_bwd_kernel(
                 p_ar[:] = p_ar[:] + ct_a9[4] * is_pl
                 p_ag[:] = p_ag[:] + ct_a9[5] * is_pl
                 p_ab[:] = p_ab[:] + ct_a9[6] * is_pl
-            # Sky cotangent partials (same lerp weights as pallas_grad).
-            miss_f = jnp.where(alive & ~hit, 1.0, 0.0)
-            s01 = 0.5 * (d3[1] + 1.0)
-            w_lo = miss_f * (1.0 - s01)
-            w_hi = miss_f * s01
-            ctrad = (ctr, ctg, ctb)
-            for c in range(3):
-                sky_accs[c][:] = sky_accs[c][:] + ctrad[c] * tp3[c] * w_lo
-                sky_accs[3 + c][:] = sky_accs[3 + c][:] + ctrad[c] * tp3[c] * w_hi
             # Chain boundary: a regenerated lane's chain STARTED here; its
             # camera-ray entry is detached, and the PREVIOUS iteration (in
             # forward order) belongs to the prior chain whose final state

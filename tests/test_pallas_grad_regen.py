@@ -545,3 +545,29 @@ def test_plane_offset_gradient_nonzero_and_matches_jnp():
     gk_r = grad_k(_regen(soft_cfg))
     assert np.isfinite(gk_j) and gk_j != 0.0, gk_j
     np.testing.assert_allclose(gk_r, gk_j, rtol=2e-3, atol=1e-9)
+
+
+def test_stream_plane_soft_rr_combined():
+    """Everything at once: ground plane + soft silhouettes + Russian
+    roulette + spp chunking (streamed-idx).  The features interact in the
+    kernels (plane lanes excluded from the blend, RR after the blend, the
+    plane's PLANE_IDX through the 10-bit pack), so the combination gets
+    its own equivalence pin: loss bit-identical stream vs remat, and both
+    match the jnp bounce to knife-edge tolerance."""
+    scene, cam, cfg, key = _plane_setup(width=32, height=16, spp=6, depth=5,
+                                        spp_chunk=2, rr_start_depth=2,
+                                        silhouette_softness=0.05)
+    target = jnp.full((cfg.height, cfg.width, 3), 0.25, jnp.float32)
+    l_s, g_s = _grads(scene, cam, _regen(cfg), key, target)
+    l_c, g_c = _grads(
+        scene, cam, _regen(cfg).replace(grad_regen_stream=False), key, target
+    )
+    assert float(l_s) == float(l_c), (float(l_s), float(l_c))
+    for k in g_s:
+        a, b = np.asarray(g_c[k]), np.asarray(g_s[k])
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-7, err_msg=k)
+    l_j, g_j = _grads(scene, cam, cfg, key, target)
+    np.testing.assert_allclose(float(l_j), float(l_s), rtol=1e-5)
+    for k in g_j:
+        a, b = np.asarray(g_j[k]), np.asarray(g_s[k])
+        np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-5, err_msg=k)
