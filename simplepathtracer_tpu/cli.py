@@ -272,9 +272,12 @@ def _invert_preset(args) -> int:
     # against the hard target, then geometry with soft silhouettes against
     # a soft target (soft-to-soft objective, inverse.fit docstring).
     softness = 0.02
-    # Albedo converges in few steps; geometry needs the rest (its Adam
-    # steps are capped at ~lr per step).
-    s1 = max(args.steps // 3, 1)
+    # Albedo converges in <40 steps; geometry needs the rest (its Adam
+    # steps are capped at ~lr per step), and EXTRA albedo-only steps are
+    # actively harmful — converged-but-noisy leaves random-walk (the
+    # 240-step run walked a semi-visible sphere's albedo to 0.39 before
+    # this cap; the joint phase then spends its budget recovering).
+    s1 = max(min(args.steps // 3, 40), 1)
     stage1, losses1 = inverse.fit(
         perturbed, target, camera, config, key, steps=s1, lr=args.lr,
         leaves=("albedo",), param_mask=mask_a, callback=cb("invert_albedo"),
