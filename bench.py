@@ -12,11 +12,14 @@ Emits the north-star numbers (BASELINE.json):
                          with the phase A / phase B decomposition of the
                          streamed-idx schedule in the same row
   * fwd_bwd_sustained_rr   — ditto with Russian roulette (the invert
-                         default since round 4; measured 1.24x)
+                         default since round 4; measured 1.22x), plus a
+                         _balanced variant (cost-balanced lanes + 16
+                         banks: the exact invert-CLI configuration)
   * fwd_bwd_sustained_soft — ditto with the soft-silhouette blend
                          (geometry-fit config; prices the in-bounce blend)
   * fwd_bwd_sustained_500spp — the BASELINE.json metric's own 500-spp
-                         workload (streamed via packed idx planes)
+                         workload (streamed via packed idx planes), plus
+                         a _rr variant (the production fit default)
   * fwd_reference_scene — S=10 forward (overhead-dominated regime)
   * vpu_utilization    — achieved sphere-scan VPU tile-ops/cycle vs the
                          measured ~2.3 issue ceiling (the roofline check on
