@@ -571,3 +571,58 @@ def test_stream_plane_soft_rr_combined():
     for k in g_j:
         a, b = np.asarray(g_j[k]), np.asarray(g_s[k])
         np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-5, err_msg=k)
+
+
+def test_regen_gradients_random_scene():
+    """The reference's GenerateSpheres lattice scene (mixed materials,
+    jittered geometry) through the regen kernels — the non-curated scene
+    class had no gradient-equivalence pin."""
+    from simplepathtracer_tpu.scenes import compact_scene, random_scene
+
+    scene = compact_scene(random_scene(jax.random.PRNGKey(4), max_spheres=64))
+    cam = spt.make_camera(origin=(0, 4, -10), lookat=(0, 2, 5), vfov_deg=60)
+    cfg = spt.RenderConfig(width=24, height=12, spp=4, max_depth=4)
+    key = jax.random.PRNGKey(6)
+    target = jnp.full((cfg.height, cfg.width, 3), 0.25, jnp.float32)
+    l_j, g_j = _grads(scene, cam, cfg, key, target)
+    l_r, g_r = _grads(scene, cam, _regen(cfg), key, target)
+    # The r=1e4 ground sphere makes grazing discriminants cancel
+    # catastrophically in f32, so jnp-vs-kernel fp orderings flip a few
+    # knife-edge winners at this tiny shape — aggregate bounds (CLAUDE.md
+    # round 3; stream-vs-remat comparisons stay exact elsewhere).
+    np.testing.assert_allclose(float(l_j), float(l_r), rtol=2e-2)
+    for k in g_j:
+        a, b = np.asarray(g_j[k]), np.asarray(g_r[k])
+        err = np.linalg.norm(b - a) / (np.linalg.norm(a) + 1e-12)
+        # Near-zero leaves (fuzz norm ~8e-5 here) are dominated by a single
+        # flipped metal chain — bound them absolutely instead.
+        assert err < 0.1 or np.linalg.norm(b - a) < 1e-4, (
+            f"leaf {k}: relative L2 grad error {err}"
+        )
+    # The strong pin: the two KERNEL implementations agree tightly on this
+    # scene (measured |diff| ~1e-10; the jnp deltas above are knife-edge
+    # winner flips between fp orderings, both kernels on the same side).
+    l_p, g_p = _grads(
+        scene, cam, cfg.replace(use_pallas_grad=True, pallas_interpret=True),
+        key, target,
+    )
+    np.testing.assert_allclose(float(l_p), float(l_r), rtol=1e-6)
+    for k in g_p:
+        a, b = np.asarray(g_p[k]), np.asarray(g_r[k])
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-8, err_msg=k)
+
+
+def test_regen_gradients_reference_scene():
+    """The reference's own InitSpheres grid (S=10, the small-scan regime)
+    through the regen kernels."""
+    scene = spt.reference_scene()
+    cam = spt.make_camera(origin=(0, 1, -3), lookat=(0, 1, 0), vfov_deg=90)
+    cfg = spt.RenderConfig(width=24, height=12, spp=4, max_depth=4)
+    key = jax.random.PRNGKey(8)
+    target = jnp.full((cfg.height, cfg.width, 3), 0.25, jnp.float32)
+    l_j, g_j = _grads(scene, cam, cfg, key, target)
+    l_r, g_r = _grads(scene, cam, _regen(cfg), key, target)
+    np.testing.assert_allclose(float(l_j), float(l_r), rtol=1e-5)
+    for k in g_j:
+        a, b = np.asarray(g_j[k]), np.asarray(g_r[k])
+        np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-5, err_msg=k)
