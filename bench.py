@@ -47,6 +47,18 @@ traceback because the axon tunnel was wedged):
 Timing discipline (CLAUDE.md): never one-shot absolute timings through the
 remote-TPU tunnel — time the best of two identical cache-hit calls and
 synchronize on a 1-pixel slice / scalar fetch.
+
+Stall hardening (round-5, VERDICT r4 weak 1: BENCH_r04 recorded a 2.53 M
+fwd_bwd_sustained_rr row — a tunnel stall on a reps=1 timing — where the
+adjacent balanced sibling measured 26.9 M):
+  * EVERY row is min-of-2 identical cache-hit calls (previously the
+    sustained rows were reps=1);
+  * if the two reps disagree by >2.5x (a mid-row tunnel stall), one extra
+    rep runs and the min wins; all rep times ship in the row
+    ("rep_times_s") so a stall is visible, not silent;
+  * each row is compared against the perf floors shared with
+    tests/test_perf_tpu.py (FLOORS below, ~0.7x of driver-verified round-4
+    numbers); rows below floor are listed in detail["regressions"].
 """
 
 import json
@@ -92,6 +104,46 @@ CLOCK_HZ = 0.94e9
 CEILING_OPS_PER_CYCLE = 2.3
 
 PARTIAL_PATH = os.path.join(REPO, "BENCH_partial.json")
+
+# Regression floors (paths/s), shared with tests/test_perf_tpu.py (which
+# imports this dict).  ~0.7x the round-4 driver-verified numbers: loose
+# enough for machine variance, tight enough that a path falling back to a
+# slower schedule (or a stalled row) is flagged in detail["regressions"].
+FLOORS = {
+    "fwd_paths_per_sec": 30e6,                             # measured 43.8M
+    "fwd_rr_paths_per_sec": 38e6,                          # measured 54.9M
+    "fwd_bwd_paths_per_sec": 7e6,                          # measured 11.0M
+    "fwd_bwd_regen_paths_per_sec": 15e6,                   # measured 23.8M
+    "fwd_bwd_sustained_100spp_paths_per_sec": 14e6,        # measured 21.1M
+    "fwd_bwd_sustained_rr_paths_per_sec": 17e6,            # measured 25.6M
+    "fwd_bwd_sustained_rr_balanced_paths_per_sec": 17e6,   # measured 26.9M
+    "fwd_bwd_sustained_soft_paths_per_sec": 14e6,          # measured 21.0M
+    "fwd_bwd_sustained_500spp_paths_per_sec": 14e6,        # measured 21.2M
+    "fwd_bwd_sustained_500spp_rr_paths_per_sec": 17e6,     # measured 25.8M
+}
+# One mid-row tunnel stall makes a rep >2.5x its sibling; a real config
+# regression is flat across reps.  One extra rep disambiguates.
+STALL_RATIO = 2.5
+
+
+def _timed_reps(run, reps=2, max_reps=3):
+    """Min-of-reps timing with a stall-retry: returns (best_s, [rep times]).
+
+    ``run`` must be a post-compile cache-hit call that synchronizes on a
+    tiny fetch.  If the observed reps disagree by more than STALL_RATIO
+    (tunnel stall mid-row), one extra rep runs; the min is the measurement
+    and every rep time is reported so stalls are visible in the artifact.
+    """
+    times = []
+    for _ in range(max(reps, 2)):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    while max(times) / min(times) > STALL_RATIO and len(times) < max_reps:
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    return min(times), [round(t, 3) for t in times]
 
 
 def cpu_baseline_paths_per_sec():
@@ -151,13 +203,12 @@ def _bench_forward(accumulate, init_state, scene, camera, config, key, spp):
     state = accumulate(state, scene, camera, config, spp)
     sync(state)
     compile_s = time.time() - t0
-    dt = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        state = accumulate(state, scene, camera, config, spp)
-        sync(state)
-        dt = min(dt, time.time() - t0)
-    return dt, compile_s
+
+    def run():
+        sync(accumulate(state, scene, camera, config, spp))
+
+    dt, rep_times = _timed_reps(run)
+    return dt, compile_s, rep_times
 
 
 def _bench_grad(scene, camera, config, key, spp, spp_chunk, reps=2,
@@ -216,12 +267,8 @@ def _bench_grad(scene, camera, config, key, spp, spp_chunk, reps=2,
     t0 = time.time()
     run()
     compile_s = time.time() - t0
-    dt = float("inf")
-    for _ in range(reps):
-        t0 = time.time()
-        run()
-        dt = min(dt, time.time() - t0)
-    return dt, compile_s
+    dt, rep_times = _timed_reps(run, reps=reps)
+    return dt, compile_s, rep_times
 
 
 def _measure_scan_iters(scene, camera, config, key, probe_spp=2):
@@ -258,9 +305,11 @@ def emit(result, partial_only=False):
 def main():
     metrics = []
     errors = []
+    regressions = []
     detail = {
         "config": f"{WIDTH}x{HEIGHT}@{BENCH_SPP}spp depth={DEPTH}",
         "metrics": metrics,
+        "regressions": regressions,
     }
     result = {
         "metric": "cover_scene_paths_per_sec_1chip",
@@ -294,6 +343,18 @@ def main():
     def vs(x):
         return round(x / base_pps, 3) if base_pps else None
 
+    def add_row(row, rep_times=None):
+        """Append a metric row; flag it in detail["regressions"] if it
+        lands below its test_perf_tpu.py floor (VERDICT r4 weak 6)."""
+        if rep_times is not None:
+            row["rep_times_s"] = rep_times
+        floor = FLOORS.get(row["name"])
+        if floor is not None and row["value"] < floor:
+            row["floor"] = floor
+            regressions.append(row["name"])
+        metrics.append(row)
+        emit(result, partial_only=True)
+
     try:
         import jax
 
@@ -322,18 +383,17 @@ def main():
 
     # --- fwd (headline) ----------------------------------------------------
     try:
-        fwd_dt, fwd_compile = _bench_forward(
+        fwd_dt, fwd_compile, fwd_reps = _bench_forward(
             accumulate, init_state, scene, camera, config, key, BENCH_SPP
         )
         fwd_pps = WIDTH * HEIGHT * BENCH_SPP / fwd_dt
         result["value"] = round(fwd_pps, 1)
         result["vs_baseline"] = vs(fwd_pps) or 0.0
-        metrics.append({
+        add_row({
             "name": "fwd_paths_per_sec", "value": round(fwd_pps, 1),
             "vs_baseline": vs(fwd_pps), "elapsed_s": round(fwd_dt, 3),
             "compile_plus_first_s": round(fwd_compile, 1),
-        })
-        emit(result, partial_only=True)
+        }, fwd_reps)
     except Exception as e:
         errors.append(f"fwd: {e!r}")
         fwd_dt = None
@@ -362,57 +422,54 @@ def main():
 
     # --- fwd + Russian roulette --------------------------------------------
     try:
-        rr_dt, rr_compile = _bench_forward(
+        rr_dt, rr_compile, rr_reps = _bench_forward(
             accumulate, init_state, scene, camera,
             config.replace(rr_start_depth=2), key, BENCH_SPP,
         )
         rr_pps = WIDTH * HEIGHT * BENCH_SPP / rr_dt
-        metrics.append({
+        add_row({
             "name": "fwd_rr_paths_per_sec", "value": round(rr_pps, 1),
             "vs_baseline": vs(rr_pps), "elapsed_s": round(rr_dt, 3),
             "compile_plus_first_s": round(rr_compile, 1), "rr_start_depth": 2,
-        })
-        emit(result, partial_only=True)
+        }, rr_reps)
     except Exception as e:
         errors.append(f"fwd_rr: {e!r}")
 
     # --- fwd+bwd, one unchunked 8-spp dispatch (per-bounce fused kernels,
     # the regen A/B baseline) -------------------------------------------------
     try:
-        grad_dt, grad_compile = _bench_grad(
+        grad_dt, grad_compile, grad_reps = _bench_grad(
             scene, camera, config, key, GRAD_SPP, spp_chunk=GRAD_SPP,
             regen=False,
         )
         grad_pps = WIDTH * HEIGHT * GRAD_SPP / grad_dt
-        metrics.append({
+        add_row({
             "name": "fwd_bwd_paths_per_sec", "value": round(grad_pps, 1),
             "vs_baseline": vs(grad_pps), "elapsed_s": round(grad_dt, 3),
             "compile_plus_first_s": round(grad_compile, 1), "spp": GRAD_SPP,
-        })
-        emit(result, partial_only=True)
+        }, grad_reps)
     except Exception as e:
         errors.append(f"fwd_bwd: {e!r}")
 
     # --- fwd+bwd, regeneration kernels (same dispatch shape) ----------------
     try:
-        rg_dt, rg_compile = _bench_grad(
+        rg_dt, rg_compile, rg_reps = _bench_grad(
             scene, camera, config, key, GRAD_SPP, spp_chunk=GRAD_SPP, regen=True
         )
         rg_pps = WIDTH * HEIGHT * GRAD_SPP / rg_dt
-        metrics.append({
+        add_row({
             "name": "fwd_bwd_regen_paths_per_sec", "value": round(rg_pps, 1),
             "vs_baseline": vs(rg_pps), "elapsed_s": round(rg_dt, 3),
             "compile_plus_first_s": round(rg_compile, 1), "spp": GRAD_SPP,
-        })
-        emit(result, partial_only=True)
+        }, rg_reps)
     except Exception as e:
         errors.append(f"fwd_bwd_regen: {e!r}")
 
     # --- fwd+bwd sustained at the 100-spp preset (default gradient path:
     # regen kernels, grad_safe_config-chunked) -------------------------------
     try:
-        sus_dt, sus_compile = _bench_grad(
-            scene, camera, config, key, SUSTAINED_SPP, spp_chunk=0, reps=1
+        sus_dt, sus_compile, sus_reps = _bench_grad(
+            scene, camera, config, key, SUSTAINED_SPP, spp_chunk=0
         )
         sus_pps = WIDTH * HEIGHT * SUSTAINED_SPP / sus_dt
         row = {
@@ -431,9 +488,9 @@ def main():
         # achieved rate is reported for regression tracking rather than
         # against a scan roofline.
         try:
-            pa_dt, _ = _bench_grad(
+            pa_dt, _, _ = _bench_grad(
                 scene, camera, config, key, SUSTAINED_SPP, spp_chunk=0,
-                reps=1, fwd_only=True,
+                fwd_only=True,
             )
             row["phase_a_s"] = round(pa_dt, 3)
             row["phase_b_s"] = round(sus_dt - pa_dt, 3)
@@ -445,8 +502,7 @@ def main():
             )
         except Exception as e:  # decomposition is informative
             errors.append(f"sustained_decomposition: {e!r}")
-        metrics.append(row)
-        emit(result, partial_only=True)
+        add_row(row, sus_reps)
     except Exception as e:
         errors.append(f"fwd_bwd_sustained: {e!r}")
 
@@ -454,38 +510,35 @@ def main():
     # forward RR is a measured 1.25x; gradients under RR are unbiased and
     # equivalence-tested — measure whether invert should default it) ------
     try:
-        rrg_dt, rrg_compile = _bench_grad(
-            scene, camera, config, key, SUSTAINED_SPP, spp_chunk=0, reps=1,
-            rr=2,
+        rrg_dt, rrg_compile, rrg_reps = _bench_grad(
+            scene, camera, config, key, SUSTAINED_SPP, spp_chunk=0, rr=2,
         )
         rrg_pps = WIDTH * HEIGHT * SUSTAINED_SPP / rrg_dt
-        metrics.append({
+        add_row({
             "name": "fwd_bwd_sustained_rr_paths_per_sec",
             "value": round(rrg_pps, 1), "vs_baseline": vs(rrg_pps),
             "elapsed_s": round(rrg_dt, 3),
             "compile_plus_first_s": round(rrg_compile, 1),
             "spp": SUSTAINED_SPP, "rr_start_depth": 2,
-        })
-        emit(result, partial_only=True)
+        }, rrg_reps)
     except Exception as e:
         errors.append(f"fwd_bwd_sustained_rr: {e!r}")
 
     # --- fwd+bwd sustained, BALANCED + RR (the exact configuration the
     # invert CLI runs on TPU: cost-balanced pixel order + 16 banks) -------
     try:
-        bal_dt, bal_compile = _bench_grad(
-            scene, camera, config, key, SUSTAINED_SPP, spp_chunk=0, reps=1,
+        bal_dt, bal_compile, bal_reps = _bench_grad(
+            scene, camera, config, key, SUSTAINED_SPP, spp_chunk=0,
             rr=2, balance=True,
         )
         bal_pps = WIDTH * HEIGHT * SUSTAINED_SPP / bal_dt
-        metrics.append({
+        add_row({
             "name": "fwd_bwd_sustained_rr_balanced_paths_per_sec",
             "value": round(bal_pps, 1), "vs_baseline": vs(bal_pps),
             "elapsed_s": round(bal_dt, 3),
             "compile_plus_first_s": round(bal_compile, 1),
             "spp": SUSTAINED_SPP, "rr_start_depth": 2, "banks": 16,
-        })
-        emit(result, partial_only=True)
+        }, bal_reps)
     except Exception as e:
         errors.append(f"fwd_bwd_sustained_rr_balanced: {e!r}")
 
@@ -493,56 +546,52 @@ def main():
     # the in-bounce blend (round 4) keeps geometry recovery on the
     # streamed kernels — this row prices the blend vs the plain row ------
     try:
-        sil_dt, sil_compile = _bench_grad(
+        sil_dt, sil_compile, sil_reps = _bench_grad(
             scene, camera, config.replace(silhouette_softness=0.02), key,
-            SUSTAINED_SPP, spp_chunk=0, reps=1,
+            SUSTAINED_SPP, spp_chunk=0,
         )
         sil_pps = WIDTH * HEIGHT * SUSTAINED_SPP / sil_dt
-        metrics.append({
+        add_row({
             "name": "fwd_bwd_sustained_soft_paths_per_sec",
             "value": round(sil_pps, 1), "vs_baseline": vs(sil_pps),
             "elapsed_s": round(sil_dt, 3),
             "compile_plus_first_s": round(sil_compile, 1),
             "spp": SUSTAINED_SPP, "silhouette_softness": 0.02,
-        })
-        emit(result, partial_only=True)
+        }, sil_reps)
     except Exception as e:
         errors.append(f"fwd_bwd_sustained_soft: {e!r}")
 
     # --- fwd+bwd sustained at the NORTH-STAR 500 spp (BASELINE.json's own
     # metric line; packed idx planes keep the streamed path engaged) ------
     try:
-        ns_dt, ns_compile = _bench_grad(
-            scene, camera, config, key, NORTH_STAR_SPP, spp_chunk=0, reps=1
+        ns_dt, ns_compile, ns_reps = _bench_grad(
+            scene, camera, config, key, NORTH_STAR_SPP, spp_chunk=0
         )
         ns_pps = WIDTH * HEIGHT * NORTH_STAR_SPP / ns_dt
-        metrics.append({
+        add_row({
             "name": "fwd_bwd_sustained_500spp_paths_per_sec",
             "value": round(ns_pps, 1), "vs_baseline": vs(ns_pps),
             "elapsed_s": round(ns_dt, 3),
             "compile_plus_first_s": round(ns_compile, 1),
             "spp": NORTH_STAR_SPP,
-        })
-        emit(result, partial_only=True)
+        }, ns_reps)
     except Exception as e:
         errors.append(f"fwd_bwd_sustained_500spp: {e!r}")
 
     # --- the same 500-spp workload with Russian roulette (the production
     # fit default): the headline gradient number ---------------------------
     try:
-        nsr_dt, nsr_compile = _bench_grad(
-            scene, camera, config, key, NORTH_STAR_SPP, spp_chunk=0, reps=1,
-            rr=2,
+        nsr_dt, nsr_compile, nsr_reps = _bench_grad(
+            scene, camera, config, key, NORTH_STAR_SPP, spp_chunk=0, rr=2,
         )
         nsr_pps = WIDTH * HEIGHT * NORTH_STAR_SPP / nsr_dt
-        metrics.append({
+        add_row({
             "name": "fwd_bwd_sustained_500spp_rr_paths_per_sec",
             "value": round(nsr_pps, 1), "vs_baseline": vs(nsr_pps),
             "elapsed_s": round(nsr_dt, 3),
             "compile_plus_first_s": round(nsr_compile, 1),
             "spp": NORTH_STAR_SPP, "rr_start_depth": 2,
-        })
-        emit(result, partial_only=True)
+        }, nsr_reps)
     except Exception as e:
         errors.append(f"fwd_bwd_sustained_500spp_rr: {e!r}")
 
@@ -556,17 +605,16 @@ def main():
         ref_cam = _spt.make_camera(
             origin=(0, 1, -3), lookat=(0, 1, 0), vfov_deg=90
         )
-        ref_dt, ref_compile = _bench_forward(
+        ref_dt, ref_compile, ref_reps = _bench_forward(
             accumulate, init_state, ref_scene, ref_cam, config, key, BENCH_SPP
         )
         ref_pps = WIDTH * HEIGHT * BENCH_SPP / ref_dt
-        metrics.append({
+        add_row({
             "name": "fwd_reference_scene_paths_per_sec",
             "value": round(ref_pps, 1), "elapsed_s": round(ref_dt, 3),
             "compile_plus_first_s": round(ref_compile, 1),
             "spheres": int(ref_scene.num_spheres),
-        })
-        emit(result, partial_only=True)
+        }, ref_reps)
     except Exception as e:
         errors.append(f"fwd_reference_scene: {e!r}")
 

@@ -118,6 +118,14 @@ def local_tile_slice(mesh: Mesh, num_pixels: int):
     for ti in range(devs.shape[0]):
         if any(d in local for d in devs[ti]):
             coords.append(ti)
+    # The slice is only correct when this process's tile coordinates form a
+    # contiguous run; a device-to-host layout that interleaves hosts along
+    # the tile axis would silently save overlapping slices otherwise.
+    assert coords == list(range(min(coords), max(coords) + 1)), (
+        f"non-contiguous tile coordinates for this process: {coords}; "
+        "build the mesh so each host owns a contiguous tile range "
+        "(make_multihost_mesh does)"
+    )
     start = min(coords) * p_local
     size = (max(coords) - min(coords) + 1) * p_local
     return start, size

