@@ -82,6 +82,43 @@ def pixel_loss(params, static_scene, target, camera, config, key, leaves=DIFF_LE
     return jnp.mean((img - target) ** 2)
 
 
+def pixel_loss_decoupled(params, static_scene, target, camera, config, key,
+                         leaves=DIFF_LEAVES, pixel_perm=None):
+    """MSE whose VALUE is the full-spp render's but whose GRADIENT is the
+    independent-pair estimator: residual from the first half of the sample
+    range (detached), pullback through the second half.
+
+    Why: the two-sided silhouette estimator's REINFORCE score terms share
+    their acceptance coins with the image the residual is built from, so
+    plain value_and_grad(pixel_loss) differentiates MSE-of-means PLUS the
+    theta-dependent sample variance — measured as a ~10-sigma spurious
+    z-gradient at the truth for an 8-spp fit (the sphere drifts toward the
+    camera).  Splitting the sample range decorrelates residual and score,
+    E[ct . grad] factorizes, and the bias term vanishes — same trick as
+    make_accum_grad_step, at unchanged per-step cost (half the samples
+    render forward-only).  Used by ``fit`` whenever softness > 0.
+    """
+    config = grad_safe_config(config)
+    scene = merge_params(params, static_scene)
+    spp = int(config.spp)
+    h = max(spp // 2, 1)
+    sg = jax.lax.stop_gradient
+    sgscene = jax.tree.map(sg, scene)
+    kwargs = {} if pixel_perm is None else {"pixel_ids": pixel_perm}
+    acc_a = render_sample_batch(sgscene, camera, config, key, 0, h, **kwargs)
+    acc_b = render_sample_batch(scene, camera, config, key, h, spp - h,
+                                **kwargs)
+    t = target.reshape(-1, 3)
+    if pixel_perm is not None:
+        t = t[pixel_perm]
+    img = (acc_a + acc_b) / spp
+    value = jnp.mean((img - t) ** 2)
+    resid = sg(2.0 * (acc_a / h - t) / t.size)
+    gterm = jnp.sum(resid * acc_b) / (spp - h)
+    # Value is exactly the full-spp MSE; gradient is d gterm only.
+    return sg(value - gterm) + gterm
+
+
 def make_accum_grad_step(static_scene, target, camera, config,
                          n_groups: int):
     """Gradient-accumulated loss/grad for spp beyond one dispatch's budget.
@@ -306,9 +343,16 @@ def fit(
         if grad_accum else None
     )
 
+    # Soft (two-sided stochastic-transparency) objectives use the
+    # decoupled-residual gradient: see pixel_loss_decoupled.
+    loss_impl = (
+        pixel_loss_decoupled if config.silhouette_softness > 0.0
+        else pixel_loss
+    )
+
     @jax.jit
     def step_fn(params, opt_state, step_key, pixel_perm):
-        loss, grads = jax.value_and_grad(pixel_loss)(
+        loss, grads = jax.value_and_grad(loss_impl)(
             params, static_scene, target, camera, config, step_key, leaves,
             pixel_perm,
         )

@@ -118,6 +118,118 @@ def intersect_scene_pallas(
     return _hit_from_index(origins, dirs, idx, scene, t_min, t_max)
 
 
+# Soft-silhouette logistic clamp (shared with ops/pallas_grad.bounce_tile):
+# saturates the sigmoid exactly in f32 and keeps every vjp finite.
+_XS_CLAMP = 30.0
+
+# Floor on the realized-outcome probability p = We - M in the detached
+# REINFORCE ratio p / stop_grad(p): caps the per-sample weight |dp| / p at
+# 1/floor (the raw weight is heavy-tailed — P(p < x) ~ x for a uniform
+# coin, so unfloored variance diverges logarithmically and low-spp Adam
+# fits ride outliers).  Gradient contributions of outcomes rarer than the
+# floor are under-weighted by p/floor — a bias bounded by the floor itself;
+# measured AD/FD stays ~1.0 through 3e-2 (experiments/r5_two_sided_fd.py).
+SIL_P_FLOOR = 1e-2
+
+
+def silhouette_logit(u):
+    """Acceptance-coin logit for the two-sided stochastic-transparency
+    estimator, clamped to the same +-30 band as the blend sigmoid.
+
+    Sphere s is accepted iff sigmoid(disc_s / (soft * r_s^2)) > u, i.e.
+    disc_s > logit(u) * soft * r_s^2 — one transcendental pair per
+    (ray, bounce) instead of a per-sphere sigmoid.  u = 0 (possible from
+    the 24-bit uniform) clamps to "accept anything in the +-30 band".
+    Formula shared verbatim with the Pallas kernels (log only — Mosaic has
+    no log1p lowering).
+    """
+    tiny = 1e-30
+    return jnp.clip(
+        jnp.log(jnp.maximum(u, tiny)) - jnp.log(jnp.maximum(1.0 - u, tiny)),
+        -_XS_CLAMP, _XS_CLAMP,
+    )
+
+
+def intersect_scene_soft(
+    origins, dirs, u, scene, t_min, t_max, softness
+) -> tuple[Hit, jax.Array]:
+    """Stochastic-transparency closest hit: the two-sided soft-silhouette
+    semantic (round 5).
+
+    Each sphere carries opacity w_s = sigmoid(disc_s / (softness * r_s^2))
+    — 1 for solid hits, 0 far from the surface, partial inside the
+    silhouette band.  One shared coin ``u`` per ray decides acceptance
+    (w_s > u, tested in logit space — see silhouette_logit); the winner is
+    the NEAREST accepted sphere, which near an edge is sometimes a GRAZING
+    phantom (disc < 0, t = t_center).  Additionally returns ``blocker_idx``
+    [N] i32: among spheres the coin REJECTED whose WOULD-BE hit t (the
+    same clamped-sqrt t an accepted sphere gets — NOT t_center, which for
+    a large grazing sphere like the ground overshoots by up to ~r) lies
+    strictly in front of the running winner, the one with max normalized
+    disc (-1 if none) — the lane's strongest front occluder, whose opacity
+    M the bounce's detached-weight ratio (W - M) / stop_grad(W - M)
+    differentiates.  In expectation the estimator's gradient is the full
+    two-sided visibility derivative dw * (L_front - L_behind); the
+    one-sided round-4 blend measured AD/FD = 0.49 on geometry leaves
+    because it dropped L_behind.
+
+    Semantics (including the running-best-t blocker filter and first-wins
+    tie breaks) match the Pallas kernels' one-pass scan exactly; the final
+    strictly-in-front validity test (t_blocker < t_winner) is applied by
+    the bounce, which recomputes it from the blocker's attributes.
+
+    Reference counterpart: none (the reference is not differentiable);
+    the hard limit softness -> 0 is FindClosestIntersectionSphere
+    (include/Collision.hpp:87-109).
+    """
+    hi = jax.lax.Precision.HIGHEST
+    centers, radii = scene.centers, scene.radii
+    d_dot_c = jnp.matmul(dirs, centers.T, precision=hi)
+    o_dot_d = jnp.sum(origins * dirs, -1, keepdims=True)
+    tc = d_dot_c - o_dot_d
+    o_dot_c = jnp.matmul(origins, centers.T, precision=hi)
+    oc2 = (
+        jnp.sum(centers * centers, -1)[None, :]
+        - 2.0 * o_dot_c
+        + jnp.sum(origins * origins, -1, keepdims=True)
+    )
+    r2 = radii * radii
+    disc = r2[None, :] - (oc2 - tc * tc)
+    thr = silhouette_logit(u)[:, None] * (softness * r2)[None, :]
+    sq = jnp.sqrt(jnp.maximum(disc, _DISC_EPS))
+    t_near = tc - sq
+    t = jnp.where(t_near > t_min, t_near, tc + sq)
+    accept = (disc > thr) & (t > t_min) & (t < t_max)
+    t_sel = jnp.where(accept, t, t_max)
+    index = jnp.argmin(t_sel, axis=-1).astype(jnp.int32)
+    t_hit = jnp.take_along_axis(t_sel, index[:, None], axis=-1)[:, 0]
+    hit = t_hit < t_max
+
+    # Blocker: kernel one-pass semantics — a rejected sphere qualifies if
+    # its would-be hit t beats the best accepted t seen SO FAR (exclusive
+    # running min in sphere-index order); max normalized disc wins, first
+    # on ties.
+    n = origins.shape[0]
+    cmin = jax.lax.cummin(t_sel, axis=1)
+    bt_before = jnp.concatenate(
+        [jnp.full((n, 1), t_max, t_sel.dtype), cmin[:, :-1]], axis=-1
+    )
+    rej_front = (~accept) & (t > t_min) & (t < bt_before)
+    score = jnp.where(rej_front, disc / r2[None, :], -jnp.inf)
+    bidx = jnp.argmax(score, axis=-1).astype(jnp.int32)
+    blocker_idx = jnp.where(jnp.any(rej_front, axis=-1), bidx, -1)
+
+    point = origins + t_hit[:, None] * dirs
+    c = centers[index]
+    r = radii[index]
+    nrm = (point - c) / r[:, None]
+    nrm = nrm / jnp.sqrt(jnp.sum(nrm * nrm, -1, keepdims=True) + 1e-20)
+    return (
+        Hit(t=t_hit, index=index, hit=hit, point=point, normal=nrm),
+        blocker_idx,
+    )
+
+
 def intersect_scene(origins, dirs, scene, t_min=1e-3, t_max=3.0e7) -> Hit:
     """Closest hit over all spheres for a batch of rays.
 

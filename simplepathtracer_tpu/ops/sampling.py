@@ -119,14 +119,17 @@ def _uniform_words(ctx: RayCtx, slot0, n_evals: int):
 
 
 def bounce_noise(ctx: RayCtx, bounce):
-    """All randomness one bounce step needs, per ray: uniforms [N, 7].
+    """All randomness one bounce step needs, per ray: uniforms [N, 8].
 
     Columns: 0-1 Lambertian (z, phi); 2-4 metal fuzz ball (z, phi, r);
-    5 dielectric reflect coin; 6 Russian-roulette spare.
+    5 dielectric reflect coin; 6 Russian roulette; 7 soft-silhouette
+    acceptance coin (the two-sided stochastic-transparency estimator,
+    round 5).  All 8 words come from the same 4 threefry evals the slot
+    map always reserved for a bounce — the stream is unchanged.
     """
     slot0 = jnp.asarray(bounce, jnp.uint32) * jnp.uint32(4)
     cols = _uniform_words(ctx, slot0, 4)
-    return jnp.stack(cols[:7], axis=-1)
+    return jnp.stack(cols, axis=-1)
 
 
 def camera_jitter(ctx: RayCtx):

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from .camera import generate_rays
-from .ops.intersect import intersect_scene
+from .ops.intersect import intersect_scene, intersect_scene_soft
 from .ops.materials import scatter, sky_color
 from .ops.sampling import bounce_noise, camera_jitter, ray_keys
 from .ops.table_gather import pack_tables
@@ -211,6 +211,12 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
         # DIFF_LEAVES member).  Forward kernels above DO trace the plane.
         config = config.replace(use_pallas_grad=False, use_pallas_hits=False)
 
+    if config.silhouette_softness > 0.0 and config.use_pallas_hits:
+        # The detached closest-hit kernel has no stochastic-transparency
+        # scan (winner + blocker); soft configs take the jnp scan below or
+        # the fused/regen kernels (which do).
+        config = config.replace(use_pallas_hits=False)
+
     if config.use_pallas_grad:
         # Fully-fused differentiable path: forward AND backward bounce run
         # as Pallas kernels (ops/pallas_grad.py) — same gradient semantics
@@ -235,8 +241,7 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
 
     def bounce(carry, b):
         o, d, tp, rad, alive = carry
-        o0, d0, tp0 = o, d, tp   # chain-entry values for the b==0 blend
-        wc3 = wr = pw_mask = None
+        wc3 = wr = pw_mask = blk = None
         unif = bounce_noise(keys, b)
         if config.use_pallas_hits:
             # Gradient fast path: the closest-hit kernel returns the winner
@@ -276,11 +281,21 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
                 d, hit.normal, mat, jnp.stack([ar, ag, ab], -1), fz, io, unif,
             )
         elif scene.plane is None:
-            hit = intersect_scene(o, d, scene, config.t_min, config.t_max)
-            new_d, att, scattered = scatter(d, hit, scene, unif)
             if config.silhouette_softness > 0.0:
+                # Two-sided soft silhouettes (round 5): stochastic-
+                # transparency closest hit — a shared coin decides sphere
+                # acceptance by silhouette opacity, and the strongest
+                # REJECTED front sphere (the blocker) is tracked for the
+                # detached probability ratio below.
+                hit, blk = intersect_scene_soft(
+                    o, d, unif[:, 7], scene, config.t_min, config.t_max,
+                    config.silhouette_softness,
+                )
                 wc3 = scene.centers[hit.index]
                 wr = scene.radii[hit.index]
+            else:
+                hit = intersect_scene(o, d, scene, config.t_min, config.t_max)
+            new_d, att, scattered = scatter(d, hit, scene, unif)
         else:
             # Sphere scan + Lambertian ground-plane candidate (the
             # reference's dead Collision.hpp:73-85, live here).  Where the
@@ -290,7 +305,13 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
             from .ops.materials import scatter_attrs
             from .ops.plane import ray_plane_intersection
 
-            hit = intersect_scene(o, d, scene, config.t_min, config.t_max)
+            if config.silhouette_softness > 0.0:
+                hit, blk = intersect_scene_soft(
+                    o, d, unif[:, 7], scene, config.t_min, config.t_max,
+                    config.silhouette_softness,
+                )
+            else:
+                hit = intersect_scene(o, d, scene, config.t_min, config.t_max)
             # The plane normal is unit-constrained and NOT a differentiable
             # parameter (offset + albedo are) — detached here to match the
             # kernel gradient paths.
@@ -322,6 +343,50 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
                 wr = scene.radii[i]
                 pw_mask = pw
 
+        if config.silhouette_softness > 0.0:
+            # Two-sided silhouette gradients (round 5): the realized scan
+            # outcome's probability is p = We - M (We = winner opacity, 1
+            # on miss/plane lanes; M = strongest rejected front blocker's
+            # opacity, 0 if none).  Scaling ALL of this bounce's radiance
+            # (miss shader included) and the carried throughput by the
+            # detached ratio s = p / stop_grad(p) == 1 leaves every value
+            # unchanged while its vjp contributes L * d log p — the exact
+            # REINFORCE visibility gradient dw * (L_front - L_behind) in
+            # expectation.  The round-4 one-sided blend measured AD/FD =
+            # 0.49 on geometry leaves because it dropped the L_behind side.
+            # Formula shared with ops/pallas_grad.bounce_tile.
+            soft = config.silhouette_softness
+            oc = wc3 - o
+            tcw = jnp.sum(oc * d, -1)
+            discw = wr * wr - (jnp.sum(oc * oc, -1) - tcw * tcw)
+            xsw = jnp.clip(discw / (soft * wr * wr + 1e-12), -30.0, 30.0)
+            sphere_win = alive & hit.hit
+            if pw_mask is not None:
+                sphere_win = sphere_win & ~pw_mask
+            we = jnp.where(sphere_win, 1.0 / (1.0 + jnp.exp(-xsw)), 1.0)
+            bi = jnp.maximum(blk, 0)
+            bc = scene.centers[bi]
+            brr = scene.radii[bi]
+            ocb = bc - o
+            tcb = jnp.sum(ocb * d, -1)
+            discb = brr * brr - (jnp.sum(ocb * ocb, -1) - tcb * tcb)
+            xsb = jnp.clip(discb / (soft * brr * brr + 1e-12), -30.0, 30.0)
+            # Validity: recorded, live lane, and the blocker's WOULD-BE hit
+            # t (same clamped-sqrt formula as an accepted winner) strictly
+            # in front of the FINAL winner (the scan's running-min filter
+            # is a superset).
+            sqb = jnp.sqrt(jnp.maximum(discb, 1e-12))
+            tnb = tcb - sqb
+            t_b = jnp.where(tnb > config.t_min, tnb, tcb + sqb)
+            bvalid = (blk >= 0) & alive & (t_b < hit.t)
+            m = jnp.where(bvalid, 1.0 / (1.0 + jnp.exp(-xsb)), 0.0)
+            # The floor caps the REINFORCE weight |d p| / p on near-
+            # impossible outcomes (variance control; grad is 0 below it).
+            from .ops.intersect import SIL_P_FLOOR
+
+            den = jnp.maximum(we - m, SIL_P_FLOOR)
+            tp = tp * (den / jax.lax.stop_gradient(den))[:, None]
+
         # Miss shader: sky gradient, terminal (SingleThreadPathTracer.hpp:11-19).
         miss = alive & ~hit.hit
         rad = rad + tp * sky_color(d, scene.sky_lo, scene.sky_hi) * miss[:, None]
@@ -337,29 +402,6 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
             surviving = surviving & ~kill
             boost = (b >= jnp.uint32(config.rr_start_depth)) & surviving
             tp = jnp.where(boost[:, None], tp / q[:, None], tp)
-        if config.silhouette_softness > 0.0:
-            # Soft-silhouette visibility blend at EVERY bounce (formula
-            # shared with ops/pallas_grad.bounce_tile): w scales the rest
-            # of the chain via throughput, (1 - w) * sky enters now.
-            # Replaces the former post-hoc first-bounce-only
-            # _soft_silhouette_blend and its full re-scan of the scene
-            # (round-3 VERDICT weak spot); secondary-bounce blending also
-            # carries occlusion gradients through the ray ORIGIN (the
-            # plane offset's only interior signal).
-            oc = wc3 - o0
-            tcb = jnp.sum(oc * d0, -1)
-            disc = wr * wr - (jnp.sum(oc * oc, -1) - tcb * tcb)
-            xs = jnp.clip(
-                disc / (config.silhouette_softness * wr * wr + 1e-12),
-                -30.0, 30.0,
-            )
-            w = 1.0 / (1.0 + jnp.exp(-xs))
-            blend = alive & hit.hit
-            if pw_mask is not None:
-                blend = blend & ~pw_mask
-            w = jnp.where(blend, w, 1.0)[:, None]
-            rad = rad + tp0 * sky_color(d0, scene.sky_lo, scene.sky_hi) * (1.0 - w)
-            tp = tp * w
         return (o, d, tp, rad, surviving), None
 
     n = origins.shape[0]

@@ -79,7 +79,7 @@ def test_bounce_noise_decorrelated_and_uniform():
     ctx = ray_keys(base, jnp.arange(4096), jnp.zeros(4096, jnp.int32))
     u0 = np.asarray(bounce_noise(ctx, 0))
     u1 = np.asarray(bounce_noise(ctx, 1))
-    assert u0.shape == (4096, 7)
+    assert u0.shape == (4096, 8)
     assert not np.allclose(u0, u1)
     assert (u0 >= 0).all() and (u0 < 1).all()
     # Marginals look uniform: mean ~ 0.5, var ~ 1/12.
