@@ -179,6 +179,105 @@ def closest_hit_scan(
     return jax.lax.fori_loop(0, n_spheres // unroll, body, init)
 
 
+def silhouette_logit_tile(u):
+    """Acceptance-coin logit on tiles — identical formula to
+    ops/intersect.silhouette_logit (log only; Mosaic has no log1p)."""
+    tiny = np.float32(1e-30)
+    return jnp.clip(
+        jnp.log(jnp.maximum(u, tiny)) - jnp.log(jnp.maximum(1.0 - u, tiny)),
+        -30.0, 30.0,
+    )
+
+
+def closest_hit_scan_soft(
+    table_refs, ox, oy, oz, dx, dy, dz, u_coin,
+    *, n_spheres: int, t_min: float, t_max: float, softness: float,
+):
+    """Stochastic-transparency closest hit: the soft-silhouette scan
+    (round 5), one-pass semantics identical to ops/intersect
+    .intersect_scene_soft.
+
+    Sphere s is accepted iff disc_s > logit(u) * softness * r_s^2 (i.e.
+    sigmoid(disc/(soft r^2)) > u with one shared coin per ray per bounce);
+    the winner is the nearest accepted sphere — possibly a grazing phantom
+    (disc < 0, t ~ t_center via the clamped sqrt).  Additionally tracks the
+    strongest REJECTED sphere whose would-be hit t beats the running best
+    (exclusive): the blocker, whose opacity M enters the bounce's detached
+    probability ratio.  Padding slots self-reject through NaN radius in
+    every branch (NaN compares false).
+
+    Returns (winner 12-tuple like closest_hit_scan) + (bidx, bcx, bcy,
+    bcz, brr) blocker tiles (bidx == -1: none).
+    """
+    cx_ref, cy_ref, cz_ref, rad_ref, r2_ref, ar_ref, ag_ref, ab_ref, m_ref, f_ref, i_ref = table_refs
+    shape = (SUB, LANE)
+    f32 = jnp.float32
+    thr = silhouette_logit_tile(u_coin) * np.float32(softness)
+    init = (
+        jnp.full(shape, t_max, f32), jnp.full(shape, -1, jnp.int32),
+        jnp.zeros(shape, f32), jnp.zeros(shape, f32), jnp.zeros(shape, f32),
+        jnp.ones(shape, f32), jnp.zeros(shape, f32), jnp.zeros(shape, f32),
+        jnp.zeros(shape, f32), jnp.zeros(shape, jnp.int32),
+        jnp.zeros(shape, f32), jnp.ones(shape, f32),
+        # blocker: idx, cx, cy, cz, r, score
+        jnp.full(shape, -1, jnp.int32),
+        jnp.zeros(shape, f32), jnp.zeros(shape, f32), jnp.zeros(shape, f32),
+        jnp.zeros(shape, f32), jnp.full(shape, -jnp.inf, f32),
+    )
+
+    def one_sphere(s, c):
+        (bt, bi, bcx, bcy, bcz, br, bar, bag, bab, bm, bf, bio,
+         qi, qx, qy, qz, qr, qs) = c
+        scx, scy, scz = cx_ref[s], cy_ref[s], cz_ref[s]
+        sr = rad_ref[s]
+        sr2 = sr * sr
+        ocx = scx - ox
+        ocy = scy - oy
+        ocz = scz - oz
+        tc = ocx * dx + ocy * dy + ocz * dz
+        oc2 = ocx * ocx + ocy * ocy + ocz * ocz
+        disc = sr2 - (oc2 - tc * tc)
+        sq = jnp.sqrt(jnp.maximum(disc, np.float32(1e-12)))
+        t_near = tc - sq
+        t = jnp.where(t_near > t_min, t_near, tc + sq)
+        in_front = (t > t_min) & (t < bt)   # exclusive running best
+        accept = disc > thr * sr2
+        # Blocker first (uses the PRE-update running best t).
+        score = disc / sr2
+        qok = (~accept) & in_front & (score > qs)
+        qi = jnp.where(qok, s, qi)
+        qx = jnp.where(qok, scx, qx)
+        qy = jnp.where(qok, scy, qy)
+        qz = jnp.where(qok, scz, qz)
+        qr = jnp.where(qok, sr, qr)
+        qs = jnp.where(qok, score, qs)
+        ok = accept & in_front
+        bt = jnp.where(ok, t, bt)
+        bi = jnp.where(ok, s, bi)
+        bcx = jnp.where(ok, scx, bcx)
+        bcy = jnp.where(ok, scy, bcy)
+        bcz = jnp.where(ok, scz, bcz)
+        br = jnp.where(ok, sr, br)
+        bar = jnp.where(ok, ar_ref[s], bar)
+        bag = jnp.where(ok, ag_ref[s], bag)
+        bab = jnp.where(ok, ab_ref[s], bab)
+        bm = jnp.where(ok, m_ref[s], bm)
+        bf = jnp.where(ok, f_ref[s], bf)
+        bio = jnp.where(ok, i_ref[s], bio)
+        return (bt, bi, bcx, bcy, bcz, br, bar, bag, bab, bm, bf, bio,
+                qi, qx, qy, qz, qr, qs)
+
+    unroll = next((u for u in (16, 8, 4, 2, 1) if n_spheres % u == 0), 1)
+
+    def body(i, c):
+        for k in range(unroll):
+            c = one_sphere(i * unroll + k, c)
+        return c
+
+    out = jax.lax.fori_loop(0, n_spheres // unroll, body, init)
+    return out[:12], out[12:17]
+
+
 def banked_lane_layout(pixel_ids, width, n_banks):
     """The banked pixel->lane layout shared by the persistent forward
     kernel and the regeneration gradient kernels.

@@ -51,11 +51,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .intersect import SIL_P_FLOOR
 from .pallas_common import (
     LANE as _LANE,
     SUB as _SUB,
     camera_ray_tiles,
     closest_hit_scan,
+    closest_hit_scan_soft,
     pad_scene_tables,
     scatter_tiles,
     threefry2x32,
@@ -68,7 +70,9 @@ _DISC_EPS = 1e-12  # == ops/intersect._DISC_EPS (gradient floor at grazing hits)
 
 
 def _uniforms7(k0, k1, pix, samp, bounce):
-    """The 7 bounce uniforms (slot map of ops/sampling.py) as (8,128) tiles."""
+    """The 8 bounce uniforms (slot map of ops/sampling.py) as (8,128) tiles
+    — column 7 is the soft-silhouette acceptance coin (round 5; the name
+    predates it)."""
     c1b = samp << jnp.uint32(8)
     slot0 = bounce * jnp.uint32(4)
     u = []
@@ -76,38 +80,42 @@ def _uniforms7(k0, k1, pix, samp, bounce):
         w0, w1 = threefry2x32(k0, k1, pix, c1b | (slot0 + jnp.uint32(e)))
         u.append(to_unit_float(w0))
         u.append(to_unit_float(w1))
-    return tuple(u[:7])
+    return tuple(u)
 
 
 def bounce_tile(
     o3, d3, tp3, a9, mat, hit, alive, u, sky6, do_rr,
     *, t_min: float, t_max: float, rr_on: bool, silhouette=None,
-    plane_mask=None,
+    plane_mask=None, blocker=None,
 ):
     """One differentiable bounce on (8,128) tiles.
 
     Differentiable args: o3/d3 (ray), tp3 (throughput), a9 (winner
-    attributes cx cy cz r albr albg albb fuzz ior).  Everything else is
-    discrete / reparameterized-constant, exactly like the jnp bounce
-    (render.py): `mat`/`hit`/`alive` masks, the uniforms `u`, the RR gate
-    `do_rr`.  `sky6` enters as closed-over values; its cotangent is
-    accumulated manually by the backward kernel (simple lerp weights).
+    attributes cx cy cz r albr albg albb fuzz ior), and — under the soft
+    scheme — the blocker attributes.  Everything else is discrete /
+    reparameterized-constant, exactly like the jnp bounce (render.py):
+    `mat`/`hit`/`alive` masks, the uniforms `u`, the RR gate `do_rr`.
+    `sky6` enters as closed-over values; its cotangent is accumulated by
+    the backward kernels through the same traced pullback.
 
-    ``silhouette``: None, or (mask_tile, softness) enabling the
-    soft-silhouette visibility blend on the masked lanes (callers pass
-    all live sphere-hit lanes — every bounce, plane winners excluded).
-    For a hit, w = sigmoid(disc / (softness * r^2)) with the RAW scan
-    discriminant (disc >= 0 on hit lanes, so w in [0.5, 1]); the rest of
-    the chain's throughput scales by w and (1 - w) * sky(d) enters as
-    immediate radiance.  Because w is built from the bounce's
-    differentiable inputs (o3, d3, cx, cy, cz, r), ``jax.vjp`` carries the
-    visibility gradient d w / d geometry with no extra machinery — the
-    gradient the detached hit argmin otherwise drops (SURVEY.md S7 hard
-    part 1).  Blending at EVERY bounce (round 4; the round-3 post-hoc
-    blend was first-bounce-only) also differentiates occlusion edges seen
-    by secondary rays THROUGH THE RAY ORIGIN — e.g. the plane offset,
-    whose only loss signal in a sky-lit Lambertian scene is which
-    geometry its scattered rays see.
+    ``silhouette``: None, or (mask_tile, softness) enabling the TWO-SIDED
+    stochastic-transparency silhouette scheme (round 5) on the masked
+    lanes (callers pass all live sphere-hit lanes — plane winners
+    excluded).  The scan already made acceptance stochastic (shared coin,
+    closest_hit_scan_soft); here the realized outcome's probability
+    p = We - M (We = winner opacity sigmoid(disc/(soft r^2)), 1 on
+    miss/plane lanes; M = the strongest rejected front blocker's opacity,
+    0 if none) scales ALL of this bounce's radiance and the carried
+    throughput by the detached ratio p / stop_grad(p) == 1: values are
+    untouched, and the vjp carries L * d log p — in expectation the full
+    two-sided visibility gradient dw * (L_front - L_behind) (the round-4
+    one-sided blend measured AD/FD = 0.49 on geometry leaves).  Applied
+    at EVERY bounce, so occlusion edges seen by secondary rays
+    differentiate through the ray origin too.
+
+    ``blocker``: required with silhouette — (valid_mask, bcx, bcy, bcz,
+    br) from the soft scan; the four attribute tiles are differentiable
+    (their cotangents bucket into the sphere tables by blocker index).
 
     ``plane_mask``: None, or a bool tile marking ground-plane winner
     lanes.  For those lanes a9's (cx, cy, cz) slots carry the plane's UNIT
@@ -160,6 +168,42 @@ def bounce_tile(
         ny = jnp.where(plane_mask, psgn * cy, ny)
         nz = jnp.where(plane_mask, psgn * cz, nz)
 
+    if silhouette is not None:
+        # Two-sided detached probability ratio (see docstring): scale the
+        # ENTRY throughput so this bounce's miss radiance and everything
+        # downstream carry the score terms.  Clamps saturate the sigmoid
+        # exactly in f32 and zero the vjp on dead lanes' garbage attrs.
+        smask, soft = silhouette
+        xs = jnp.clip(
+            disc / (np.float32(soft) * r * r + 1e-12), -30.0, 30.0
+        )
+        w = 1.0 / (1.0 + jnp.exp(-xs))
+        live_s = alive & hit
+        we_mask = live_s & (smask > 0.0)
+        if plane_mask is not None:
+            we_mask = we_mask & ~plane_mask
+        we = jnp.where(we_mask, w, 1.0)
+        bval, bcx, bcy, bcz, brr = blocker
+        ocbx, ocby, ocbz = bcx - ox, bcy - oy, bcz - oz
+        tcb = ocbx * dx + ocby * dy + ocbz * dz
+        ocb2 = ocbx * ocbx + ocby * ocby + ocbz * ocbz
+        discb = brr * brr - (ocb2 - tcb * tcb)
+        xsb = jnp.clip(
+            discb / (np.float32(soft) * brr * brr + 1e-12), -30.0, 30.0
+        )
+        mb = 1.0 / (1.0 + jnp.exp(-xsb))
+        # Would-be hit t of the blocker strictly in front of the winner
+        # (t_max on miss lanes, the true plane t on plane lanes).
+        sqb = jnp.sqrt(jnp.maximum(discb, _DISC_EPS))
+        tnb = tcb - sqb
+        t_b = jnp.where(tnb > t_min, tnb, tcb + sqb)
+        m = jnp.where(bval & alive & (t_b < t), mb, 0.0)
+        den = jnp.maximum(we - m, np.float32(SIL_P_FLOOR))
+        srat = den / jax.lax.stop_gradient(den)
+        tr = tr * srat
+        tg = tg * srat
+        tb = tb * srat
+
     sdx, sdy, sdz, atr, atg, atb, scattered = scatter_tiles(
         dx, dy, dz, nx, ny, nz, mat, ar, ag, ab, fz, io, u
     )
@@ -195,25 +239,6 @@ def bounce_tile(
         ntr = jnp.where(boost, ntr / q, ntr)
         ntg = jnp.where(boost, ntg / q, ntg)
         ntb = jnp.where(boost, ntb / q, ntb)
-    if silhouette is not None:
-        smask, soft = silhouette
-        # Manual logistic (Mosaic has exp; jax.nn.sigmoid's logistic
-        # primitive may not lower) — identical formula in the jnp bounce.
-        # The argument clamp saturates the sigmoid exactly in f32 AND kills
-        # the vjp's inf/inf NaN on dead lanes whose stale/default attrs
-        # make disc hugely negative (0-cotangent times NaN is still NaN).
-        xs = jnp.clip(
-            disc / (np.float32(soft) * r * r + 1e-12), -30.0, 30.0
-        )
-        w = 1.0 / (1.0 + jnp.exp(-xs))
-        w = jnp.where(live & (smask > 0.0), w, 1.0)
-        omw = 1.0 - w
-        rad_r = rad_r + tr * skr * omw
-        rad_g = rad_g + tg * skg * omw
-        rad_b = rad_b + tb * skb * omw
-        ntr = ntr * w
-        ntg = ntg * w
-        ntb = ntb * w
     surv_f = jnp.where(surv, 1.0, 0.0)
     return (
         (nox, noy, noz), (ndx, ndy, ndz), (ntr, ntg, ntb),
@@ -234,7 +259,8 @@ def _grad_fwd_kernel(
     n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
     n_tr, n_tg, n_tb, n_rr, n_rg, n_rb, n_alive,
     o_idx, o_cx, o_cy, o_cz, o_r, o_ar, o_ag, o_ab, o_fz, o_io, o_mat,
-    *, n_spheres: int, t_min: float, t_max: float, rr_start_depth: int,
+    *rest,
+    n_spheres: int, t_min: float, t_max: float, rr_start_depth: int,
     softness: float,
 ):
     tables = (
@@ -243,29 +269,42 @@ def _grad_fwd_kernel(
     )
     alive = alive_ref[:] > 0.0
     shape = (_SUB, _LANE)
+    soft = softness > 0.0
+    if soft:
+        # Blocker residuals (two-sided silhouette scheme, round 5).
+        o_bidx, o_bcx, o_bcy, o_bcz, o_br = rest
 
     def do_bounce():
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-        (t_scan, bi, cx, cy, cz, r, ar, ag, ab, mat, fz, io) = closest_hit_scan(
-            tables, ox, oy, oz, dx, dy, dz,
-            n_spheres=n_spheres, t_min=t_min, t_max=t_max,
-        )
-        del t_scan  # the state update recomputes t differentiably
-        hit = bi >= 0
         k0, k1, bounce = meta_ref[0], meta_ref[1], meta_ref[2]
         u = _uniforms7(k0, k1, pix_ref[:], samp_ref[:], bounce)
-        do_rr = jnp.full(shape, bounce) >= jnp.uint32(rr_start_depth)
-        sil = None
-        if softness > 0.0:
+        sil = blk = None
+        if soft:
+            winner, (qi, qx, qy, qz, qr) = closest_hit_scan_soft(
+                tables, ox, oy, oz, dx, dy, dz, u[7],
+                n_spheres=n_spheres, t_min=t_min, t_max=t_max,
+                softness=softness,
+            )
+            qi = jnp.where(alive, qi, -1)
             sil = (jnp.ones(shape, jnp.float32), softness)
+            blk = (qi >= 0, qx, qy, qz, qr)
+        else:
+            winner = closest_hit_scan(
+                tables, ox, oy, oz, dx, dy, dz,
+                n_spheres=n_spheres, t_min=t_min, t_max=t_max,
+            )
+        (t_scan, bi, cx, cy, cz, r, ar, ag, ab, mat, fz, io) = winner
+        del t_scan  # the state update recomputes t differentiably
+        hit = bi >= 0
+        do_rr = jnp.full(shape, bounce) >= jnp.uint32(rr_start_depth)
         sky6 = tuple(sky_ref[i] for i in range(6))
         a9 = (cx, cy, cz, r, ar, ag, ab, fz, io)
         (no3, nd3, ntp3, rad3, surv_f) = bounce_tile(
             (ox, oy, oz), (dx, dy, dz), (tr_ref[:], tg_ref[:], tb_ref[:]),
             a9, mat, hit, alive, u, sky6, do_rr,
             t_min=t_min, t_max=t_max, rr_on=bool(rr_start_depth),
-            silhouette=sil,
+            silhouette=sil, blocker=blk,
         )
         n_ox[:], n_oy[:], n_oz[:] = no3
         n_dx[:], n_dy[:], n_dz[:] = nd3
@@ -282,6 +321,9 @@ def _grad_fwd_kernel(
         o_ar[:], o_ag[:], o_ab[:] = ar, ag, ab
         o_fz[:], o_io[:] = fz, io
         o_mat[:] = mat
+        if soft:
+            o_bidx[:] = qi
+            o_bcx[:], o_bcy[:], o_bcz[:], o_br[:] = qx, qy, qz, qr
 
     def skip():
         n_ox[:], n_oy[:], n_oz[:] = ox_ref[:], oy_ref[:], oz_ref[:]
@@ -301,6 +343,12 @@ def _grad_fwd_kernel(
         o_fz[:] = zero
         o_io[:] = jnp.ones(shape, jnp.float32)
         o_mat[:] = jnp.zeros(shape, jnp.int32)
+        if soft:
+            o_bidx[:] = jnp.full(shape, -1, jnp.int32)
+            o_bcx[:] = zero
+            o_bcy[:] = zero
+            o_bcz[:] = zero
+            o_br[:] = jnp.ones(shape, jnp.float32)
 
     jax.lax.cond(jnp.any(alive), do_bounce, skip)
 
@@ -317,13 +365,24 @@ def _grad_bwd_kernel(
     # cotangents in: next-state (o, d, tp) + radiance (constant per ray)
     cox_ref, coy_ref, coz_ref, cdx_ref, cdy_ref, cdz_ref,
     ctr_ref, ctg_ref, ctb_ref, crr_ref, crg_ref, crb_ref,
-    # outputs: carried cotangents (9) + attr cotangents (9) + sky partials (6)
-    b_ox, b_oy, b_oz, b_dx, b_dy, b_dz, b_tr, b_tg, b_tb,
-    a_cx, a_cy, a_cz, a_r, a_ar, a_ag, a_ab, a_fz, a_io,
-    s_lor, s_log, s_lob, s_hir, s_hig, s_hib,
-    *, t_min: float, t_max: float, rr_start_depth: int, softness: float,
+    # then (soft only) 5 blocker residual inputs, then the outputs:
+    # carried cotangents (9) + attr cotangents (9) + sky partials (6)
+    # [+ 4 blocker-attr cotangents when soft]
+    *rest,
+    t_min: float, t_max: float, rr_start_depth: int, softness: float,
 ):
     shape = (_SUB, _LANE)
+    soft = softness > 0.0
+    if soft:
+        (bq_idx, bq_cx, bq_cy, bq_cz, bq_r) = rest[:5]
+        outs = rest[5:]
+    else:
+        outs = rest
+    (b_ox, b_oy, b_oz, b_dx, b_dy, b_dz, b_tr, b_tg, b_tb,
+     a_cx, a_cy, a_cz, a_r, a_ar, a_ag, a_ab, a_fz, a_io,
+     s_lor, s_log, s_lob, s_hir, s_hig, s_hib) = outs[:24]
+    if soft:
+        (a_bcx, a_bcy, a_bcz, a_br) = outs[24:]
     sky_accs = (s_lor, s_log, s_lob, s_hir, s_hig, s_hib)
 
     @pl.when(pl.program_id(0) == 0)
@@ -347,30 +406,44 @@ def _grad_bwd_kernel(
         k0, k1, bounce = meta_ref[0], meta_ref[1], meta_ref[2]
         u = _uniforms7(k0, k1, pix_ref[:], samp_ref[:], bounce)
         do_rr = jnp.full(shape, bounce) >= jnp.uint32(rr_start_depth)
-        sil = None
-        if softness > 0.0:
-            sil = (jnp.ones(shape, jnp.float32), softness)
-        # Sky enters the vjp as BROADCAST TILES so its adjoint (including
-        # the soft-silhouette blend's (1 - w) * sky term, which a manual
-        # miss-shader-only accumulation missed — caught by the round-4
-        # combined-features test) comes from the same traced pullback as
-        # every other leaf.
+        # Sky enters the vjp as BROADCAST TILES so its adjoint comes from
+        # the same traced pullback as every other leaf (a manual
+        # miss-shader-only accumulation once missed a blend term — the
+        # round-4 combined-features test).
         skyt = tuple(jnp.full(shape, sky_ref[i]) for i in range(6))
-
-        def f(o3, d3, tp3, a9, sky6):
-            return bounce_tile(
-                o3, d3, tp3, a9, mat, hit, alive, u, sky6, do_rr,
-                t_min=t_min, t_max=t_max, rr_on=bool(rr_start_depth),
-                silhouette=sil,
-            )[:4]
-
-        _, pull = jax.vjp(f, o3, d3, tp3, a9, skyt)
-        ct_o, ct_d, ct_tp, ct_a9, ct_sky = pull((
+        cts = (
             (cox_ref[:], coy_ref[:], coz_ref[:]),
             (cdx_ref[:], cdy_ref[:], cdz_ref[:]),
             (ctr_ref[:], ctg_ref[:], ctb_ref[:]),
             (crr_ref[:], crg_ref[:], crb_ref[:]),
-        ))
+        )
+        if soft:
+            sil = (jnp.ones(shape, jnp.float32), softness)
+            bval = bq_idx[:] >= 0
+            blk4 = (bq_cx[:], bq_cy[:], bq_cz[:], bq_r[:])
+
+            def f(o3, d3, tp3, a9, sky6, blk4):
+                return bounce_tile(
+                    o3, d3, tp3, a9, mat, hit, alive, u, sky6, do_rr,
+                    t_min=t_min, t_max=t_max, rr_on=bool(rr_start_depth),
+                    silhouette=sil, blocker=(bval, *blk4),
+                )[:4]
+
+            _, pull = jax.vjp(f, o3, d3, tp3, a9, skyt, blk4)
+            ct_o, ct_d, ct_tp, ct_a9, ct_sky, ct_blk = pull(cts)
+            blk_outs = (a_bcx, a_bcy, a_bcz, a_br)
+            for ref, ct in zip(blk_outs, ct_blk):
+                ref[:] = jnp.where(bval, ct, 0.0)
+        else:
+
+            def f(o3, d3, tp3, a9, sky6):
+                return bounce_tile(
+                    o3, d3, tp3, a9, mat, hit, alive, u, sky6, do_rr,
+                    t_min=t_min, t_max=t_max, rr_on=bool(rr_start_depth),
+                )[:4]
+
+            _, pull = jax.vjp(f, o3, d3, tp3, a9, skyt)
+            ct_o, ct_d, ct_tp, ct_a9, ct_sky = pull(cts)
         b_ox[:], b_oy[:], b_oz[:] = ct_o
         b_dx[:], b_dy[:], b_dz[:] = ct_d
         b_tr[:], b_tg[:], b_tb[:] = ct_tp
@@ -389,7 +462,10 @@ def _grad_bwd_kernel(
         b_dx[:], b_dy[:], b_dz[:] = cdx_ref[:], cdy_ref[:], cdz_ref[:]
         b_tr[:], b_tg[:], b_tb[:] = ctr_ref[:], ctg_ref[:], ctb_ref[:]
         zero = jnp.zeros(shape, jnp.float32)
-        for ref in (a_cx, a_cy, a_cz, a_r, a_ar, a_ag, a_ab, a_fz, a_io):
+        dead_outs = [a_cx, a_cy, a_cz, a_r, a_ar, a_ag, a_ab, a_fz, a_io]
+        if soft:
+            dead_outs += [a_bcx, a_bcy, a_bcz, a_br]
+        for ref in dead_outs:
             ref[:] = zero
 
     jax.lax.cond(jnp.any(alive), do_bwd, skip)
@@ -590,14 +666,20 @@ def _fused_fwd_impl(
         for s in (ox, oy, oz, dx, dy, dz, one, one, one, zero, zero, zero, alive0)
     )
 
+    soft = softness > 0.0
+    n_out = 29 if soft else 24
+    out_shapes = (f32out,) * 13 + (i32out,) + (f32out,) * 9 + (i32out,)
+    if soft:
+        out_shapes = out_shapes + (i32out,) + (f32out,) * 4
+
     def body(st, b):
         meta3 = jnp.stack([k0u, k1u, b]).astype(jnp.uint32)
         outs = pl.pallas_call(
             kernel,
             grid=(rows // _SUB,),
             in_specs=[smem] * 13 + [blk] * 15,
-            out_specs=tuple([blk] * 24),
-            out_shape=(f32out,) * 13 + (i32out,) + (f32out,) * 9 + (i32out,),
+            out_specs=tuple([blk] * n_out),
+            out_shape=out_shapes,
             cost_estimate=pl.CostEstimate(
                 flops=35 * rows * _LANE * s_pad,
                 bytes_accessed=52 * 4 * rows * _LANE,
@@ -608,7 +690,7 @@ def _fused_fwd_impl(
         nxt = tuple(outs[:13])
         resid = (st[0], st[1], st[2], st[3], st[4], st[5],
                  st[6], st[7], st[8], st[12],
-                 outs[13], *outs[14:23], outs[23])
+                 outs[13], *outs[14:23], outs[23], *outs[24:])
         return nxt, resid
 
     final, resids = jax.lax.scan(
@@ -651,6 +733,9 @@ def _fused_bwd_rule(depth, t_min, t_max, rr_start_depth, interpret,
     f32out = jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma)
     sky_out = jax.ShapeDtypeStruct((_SUB, _LANE), jnp.float32, vma=vma)
 
+    soft = softness > 0.0
+    n_in = 40 if soft else 35
+    n_fout = 22 if soft else 18
     zero = ctr * 0.0
     carry0 = (
         (zero, zero, zero), (zero, zero, zero), (zero, zero, zero),
@@ -662,13 +747,15 @@ def _fused_bwd_rule(depth, t_min, t_max, rr_start_depth, interpret,
     def body(carry, xs):
         (cto, ctd, cttp, d_tab, sky_acc) = carry
         resid, b = xs
+        blk5 = resid[21:]   # (bidx, bcx, bcy, bcz, br) under the soft scheme
         meta3 = jnp.stack([k0u, k1u, b]).astype(jnp.uint32)
         outs = pl.pallas_call(
             kernel,
             grid=(rows // _SUB,),
-            in_specs=[smem] * 2 + [blk] * 35,
-            out_specs=tuple([blk] * 18) + tuple([pinned] * 6),
-            out_shape=(f32out,) * 18 + (sky_out,) * 6,
+            in_specs=[smem] * 2 + [blk] * n_in,
+            out_specs=tuple([blk] * 18) + tuple([pinned] * 6)
+            + tuple([blk] * (n_fout - 18)),
+            out_shape=(f32out,) * 18 + (sky_out,) * 6 + (f32out,) * (n_fout - 18),
             cost_estimate=pl.CostEstimate(
                 flops=400 * rows * _LANE,
                 bytes_accessed=58 * 4 * rows * _LANE,
@@ -676,8 +763,8 @@ def _fused_bwd_rule(depth, t_min, t_max, rr_start_depth, interpret,
             ),
             interpret=interpret,
         )(
-            sky6, meta3, *resid, pix_u, samp_u,
-            *cto, *ctd, *cttp, ctr, ctg, ctb,
+            sky6, meta3, *resid[:21], pix_u, samp_u,
+            *cto, *ctd, *cttp, ctr, ctg, ctb, *blk5,
         )
         ncto = tuple(outs[0:3])
         nctd = tuple(outs[3:6])
@@ -688,6 +775,13 @@ def _fused_bwd_rule(depth, t_min, t_max, rr_start_depth, interpret,
         d_tab = d_tab + bucket_cols_pallas(
             cta9, idx, s_pad, interpret=interpret
         )
+        if soft:
+            # Blocker-attr cotangents bucket into the same table rows
+            # (cx, cy, cz, r columns) by blocker index.
+            ct_blk = outs[24:28]
+            d_tab = d_tab + bucket_cols_pallas(
+                ct_blk + (zero,) * 5, blk5[0], s_pad, interpret=interpret
+            )
         sky_acc = tuple(a + p for a, p in zip(sky_acc, sky_part))
         return (ncto, nctd, ncttp, d_tab, sky_acc), None
 

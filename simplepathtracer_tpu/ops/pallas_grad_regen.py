@@ -60,6 +60,7 @@ from .pallas_common import (
     banked_lane_layout,
     camera_ray_tiles,
     closest_hit_scan,
+    closest_hit_scan_soft,
     pad_scene_tables,
     plane_override,
     threefry2x32,
@@ -104,12 +105,19 @@ PLANE_IDX = _IDX_MASK - 1
 #   9 alive  10 regen  11 kb  12 s  13 b      (f32/i32 masks + chain ids)
 #   14 idx  15 mat                              (winner discrete)
 #   16-24 winner attrs cx cy cz r ar ag ab fz io
+# Soft (two-sided silhouette) configs append 5 more:
+#   25 blocker idx   26-29 blocker attrs cx cy cz r
 _N_RES = 25
+
+
+def _n_res(softness: float) -> int:
+    return _N_RES + 5 if softness > 0.0 else _N_RES
 
 
 def _uniforms7_tile(k0, k1, pix, samp, b_tile):
     """Bounce uniforms with a PER-LANE bounce index tile (slot map of
-    ops/sampling.py; the per-bounce kernels use a scalar bounce)."""
+    ops/sampling.py; the per-bounce kernels use a scalar bounce).  8
+    columns — 7 is the soft-silhouette acceptance coin (round 5)."""
     c1b = samp << jnp.uint32(8)
     slot0 = b_tile * jnp.uint32(4)
     u = []
@@ -117,7 +125,7 @@ def _uniforms7_tile(k0, k1, pix, samp, b_tile):
         w0, w1 = threefry2x32(k0, k1, pix, c1b | (slot0 + jnp.uint32(e)))
         u.append(to_unit_float(w0))
         u.append(to_unit_float(w1))
-    return tuple(u[:7])
+    return tuple(u)
 
 
 def _regen_fwd_kernel(
@@ -140,16 +148,23 @@ def _regen_fwd_kernel(
     rr_start_depth: int, softness: float = 0.0, use_plane: bool = False,
     emit_full: bool = True,
 ):
+    soft = softness > 0.0
     if emit_full:
-        res = rest[:_N_RES]       # _N_RES x (_CHUNK, 8, 128) outputs
-        scr = rest[_N_RES:]
+        nr = _n_res(softness)
+        res = rest[:nr]           # n_res x (_CHUNK, 8, 128) outputs
+        scr = rest[nr:]
         idx_out = res[14]
     else:
-        # Streamed-idx mode: the ONLY residual is the winner-index plane;
-        # the scan-free re-forward kernel regenerates everything else.
+        # Streamed-idx mode: the ONLY residuals are the packed winner-index
+        # plane (and, under the soft scheme, the packed blocker-index
+        # plane); the scan-free re-forward kernel regenerates the rest.
         res = None
         idx_out = rest[0]
-        scr = rest[1:]
+        if soft:
+            bidx_out = rest[1]
+            scr = rest[2:]
+        else:
+            scr = rest[1:]
     (kb_s, s_s, b_s, alive_s,
      ox_s, oy_s, oz_s, dx_s, dy_s, dz_s,
      tr_s, tg_s, tb_s, acr_s, acg_s, acb_s) = scr
@@ -191,7 +206,8 @@ def _regen_fwd_kernel(
     busy = jnp.any((kb_s[:] < nbank_u) | (alive_s[:] > 0.0))
 
     def do_chunk():
-        def body(kl, word):
+        def body(kl, words):
+            word, bword = words
             alive = alive_s[:] > 0.0
             kb = kb_s[:]
             s = s_s[:]
@@ -249,10 +265,21 @@ def _regen_fwd_kernel(
                 res[13][kl] = pltpu.bitcast(b, jnp.int32)
 
             # ---- closest hit + shared differentiable bounce --------------
-            winner = closest_hit_scan(
-                tables, ox, oy, oz, dx, dy, dz,
-                n_spheres=n_spheres, t_min=t_min, t_max=t_max,
-            )
+            u = _uniforms7_tile(k0, k1, pix, samp, b)
+            blk = None
+            if soft:
+                winner, (qi, qx, qy, qz, qr) = closest_hit_scan_soft(
+                    tables, ox, oy, oz, dx, dy, dz, u[7],
+                    n_spheres=n_spheres, t_min=t_min, t_max=t_max,
+                    softness=softness,
+                )
+                qi = jnp.where(alive, qi, -1)
+                blk = (qi >= 0, qx, qy, qz, qr)
+            else:
+                winner = closest_hit_scan(
+                    tables, ox, oy, oz, dx, dy, dz,
+                    n_spheres=n_spheres, t_min=t_min, t_max=t_max,
+                )
             if use_plane:
                 # Ground plane winner, code PLANE_IDX (10-bit packable;
                 # skips the sphere bucket).  encode_params: (cx..cz, r)
@@ -268,6 +295,12 @@ def _regen_fwd_kernel(
             idx_masked = jnp.where(alive & hit, bi, -1)
             if emit_full:
                 idx_out[kl] = idx_masked
+                if soft:
+                    res[25][kl] = qi
+                    res[26][kl] = qx
+                    res[27][kl] = qy
+                    res[28][kl] = qz
+                    res[29][kl] = qr
             else:
                 # Pack idx+1 (10 bits, 0 = miss/dead) into word field kl % 3;
                 # every iteration overwrites the word's plane (last of the 3
@@ -280,16 +313,18 @@ def _regen_fwd_kernel(
                 first = (jnp.zeros(shape, jnp.int32) + field) == 0
                 word = jnp.where(first, idx_masked + 1, word + (idx_masked + 1) * factor)
                 idx_out[kl // _IDX_PACK] = word
+                if soft:
+                    bword = jnp.where(first, qi + 1, bword + (qi + 1) * factor)
+                    bidx_out[kl // _IDX_PACK] = bword
             a9 = (wcx, wcy, wcz, wr, war, wag, wab, wfz, wio)
             if emit_full:
                 res[15][kl] = wmat
                 for j, a in enumerate(a9):
                     res[16 + j][kl] = a
 
-            u = _uniforms7_tile(k0, k1, pix, samp, b)
             do_rr = b >= jnp.uint32(rr_start_depth)
             sil = None
-            if softness > 0.0:
+            if soft:
                 if use_plane:
                     sil = (jnp.where(bi != PLANE_IDX, 1.0, 0.0), softness)
                 else:
@@ -300,7 +335,7 @@ def _regen_fwd_kernel(
                 (ox, oy, oz), (dx, dy, dz), (tr, tg, tb),
                 a9, wmat, hit, alive, u, sky6, do_rr,
                 t_min=t_min, t_max=t_max, rr_on=bool(rr_start_depth),
-                silhouette=sil, plane_mask=pm,
+                silhouette=sil, plane_mask=pm, blocker=blk,
             )
             # Depth budget termination on top of scatter/RR termination
             # (the per-bounce path terminates by scan length instead).
@@ -335,9 +370,10 @@ def _regen_fwd_kernel(
             )
             kb_s[:] = jnp.where(flush, kb + jnp.uint32(1), kb)
             alive_s[:] = jnp.where(surv, 1.0, 0.0)
-            return word
+            return (word, bword)
 
-        jax.lax.fori_loop(0, _CHUNK, body, jnp.zeros(shape, jnp.int32))
+        zero_i = jnp.zeros(shape, jnp.int32)
+        jax.lax.fori_loop(0, _CHUNK, body, (zero_i, zero_i))
 
     def skip_chunk():
         # Fully-finished block: mark the chunk's iterations dead so the
@@ -350,6 +386,8 @@ def _regen_fwd_kernel(
             def body(kl, _):
                 res[9][kl] = zero
                 idx_out[kl] = neg1
+                if soft:
+                    res[25][kl] = neg1
                 return 0
 
             jax.lax.fori_loop(0, _CHUNK, body, 0)
@@ -357,6 +395,8 @@ def _regen_fwd_kernel(
             # Packed planes: every 10-bit field 0 decodes to idx -1.
             for w in range(_CHUNK // _IDX_PACK):
                 idx_out[w] = jnp.zeros(shape, jnp.int32)
+                if soft:
+                    bidx_out[w] = jnp.zeros(shape, jnp.int32)
 
     jax.lax.cond(busy, do_chunk, skip_chunk)
 
@@ -370,18 +410,30 @@ def _regen_bwd_kernel(
     a_cx, a_cy, a_cz, a_r, a_ar, a_ag, a_ab, a_fz, a_io,
     pix_ref, soff_ref,
     ctr_ref, ctg_ref, ctb_ref,     # (n_banks, 8, 128) radiance cotangents
-    # outputs: per-iteration attr cotangents + sky partials + plane partials
-    o_cx, o_cy, o_cz, o_r, o_ar, o_ag, o_ab, o_fz, o_io,   # (_CHUNK, 8, 128)
-    s_lor, s_log, s_lob, s_hir, s_hig, s_hib,              # (8, 128) pinned
-    p_off, p_ar, p_ag, p_ab,                               # (8, 128) pinned
-    # scratch: carried cotangents
-    cox_s, coy_s, coz_s, cdx_s, cdy_s, cdz_s, ctr_s, ctg_s, ctb_s,
+    # then (soft only) 5 blocker residual planes, then the outputs:
+    # per-iteration attr cotangents (9) [+ 4 blocker-attr cotangents when
+    # soft] + sky partials (6) + plane partials (4), then 9 scratch refs
+    # (carried cotangents).
+    *rest,
     n_banks: int, max_depth: int, t_min: float, t_max: float,
     rr_start_depth: int, softness: float = 0.0, use_plane: bool = False,
 ):
     f32 = jnp.float32
     shape = (_SUB, _LANE)
     k0, k1 = meta_ref[0], meta_ref[1]
+    soft = softness > 0.0
+    if soft:
+        (bq_idx, bq_cx, bq_cy, bq_cz, bq_r) = rest[:5]
+        rest = rest[5:]
+    (o_cx, o_cy, o_cz, o_r, o_ar, o_ag, o_ab, o_fz, o_io) = rest[:9]
+    rest = rest[9:]
+    if soft:
+        (o_bcx, o_bcy, o_bcz, o_br) = rest[:4]
+        rest = rest[4:]
+        blk_outs = (o_bcx, o_bcy, o_bcz, o_br)
+    (s_lor, s_log, s_lob, s_hir, s_hig, s_hib,
+     p_off, p_ar, p_ag, p_ab) = rest[:10]
+    (cox_s, coy_s, coz_s, cdx_s, cdy_s, cdz_s, ctr_s, ctg_s, ctb_s) = rest[10:]
     attr_outs = (o_cx, o_cy, o_cz, o_r, o_ar, o_ag, o_ab, o_fz, o_io)
     sky_accs = (s_lor, s_log, s_lob, s_hir, s_hig, s_hib)
     plane_accs = (p_off, p_ar, p_ag, p_ab)
@@ -427,34 +479,50 @@ def _regen_bwd_kernel(
 
             u = _uniforms7_tile(k0, k1, pix, samp, b)
             do_rr = b >= jnp.uint32(rr_start_depth)
-            sil = None
-            if softness > 0.0:
-                if use_plane:
-                    sil = (jnp.where(idxv != PLANE_IDX, 1.0, 0.0), softness)
-                else:
-                    sil = (jnp.ones(shape, f32), softness)
             # Sky as broadcast tiles: its adjoint (incl. the silhouette
-            # blend's (1 - w) * sky term) rides the same pullback — the
-            # manual miss-only accumulation missed the blend term (caught
-            # by the round-4 combined-features test).
+            # score terms) rides the same pullback — a manual miss-only
+            # accumulation once missed a blend term (caught by the round-4
+            # combined-features test).
             skyt = tuple(jnp.full(shape, sky_ref[i2]) for i2 in range(6))
 
             pm = (idxv == PLANE_IDX) if use_plane else None
-
-            def f(o3, d3, tp3, a9, sky6):
-                return bounce_tile(
-                    o3, d3, tp3, a9, mat, hit, alive, u, sky6, do_rr,
-                    t_min=t_min, t_max=t_max, rr_on=bool(rr_start_depth),
-                    silhouette=sil, plane_mask=pm,
-                )[:4]
-
-            _, pull = jax.vjp(f, o3, d3, tp3, a9, skyt)
-            ct_o, ct_d, ct_tp, ct_a9, ct_sky = pull((
+            cts = (
                 (cox_s[:], coy_s[:], coz_s[:]),
                 (cdx_s[:], cdy_s[:], cdz_s[:]),
                 (ctr_s[:], ctg_s[:], ctb_s[:]),
                 (ctr, ctg, ctb),
-            ))
+            )
+            if soft:
+                if use_plane:
+                    sil = (jnp.where(idxv != PLANE_IDX, 1.0, 0.0), softness)
+                else:
+                    sil = (jnp.ones(shape, f32), softness)
+                bval = bq_idx[kl] >= 0
+                blk4 = (bq_cx[kl], bq_cy[kl], bq_cz[kl], bq_r[kl])
+
+                def f(o3, d3, tp3, a9, sky6, blk4):
+                    return bounce_tile(
+                        o3, d3, tp3, a9, mat, hit, alive, u, sky6, do_rr,
+                        t_min=t_min, t_max=t_max, rr_on=bool(rr_start_depth),
+                        silhouette=sil, plane_mask=pm,
+                        blocker=(bval, *blk4),
+                    )[:4]
+
+                _, pull = jax.vjp(f, o3, d3, tp3, a9, skyt, blk4)
+                ct_o, ct_d, ct_tp, ct_a9, ct_sky, ct_blk = pull(cts)
+                for ref, ct in zip(blk_outs, ct_blk):
+                    ref[kl] = jnp.where(bval, ct, 0.0)
+            else:
+
+                def f(o3, d3, tp3, a9, sky6):
+                    return bounce_tile(
+                        o3, d3, tp3, a9, mat, hit, alive, u, sky6, do_rr,
+                        t_min=t_min, t_max=t_max, rr_on=bool(rr_start_depth),
+                        plane_mask=pm,
+                    )[:4]
+
+                _, pull = jax.vjp(f, o3, d3, tp3, a9, skyt)
+                ct_o, ct_d, ct_tp, ct_a9, ct_sky = pull(cts)
             for ref, ct in zip(attr_outs, ct_a9):
                 ref[kl] = jnp.where(hit, ct, 0.0)
             for c in range(6):
@@ -493,6 +561,9 @@ def _regen_bwd_kernel(
             zero = jnp.zeros(shape, f32)
             for ref in attr_outs:
                 ref[kl] = zero
+            if soft:
+                for ref in blk_outs:
+                    ref[kl] = zero
 
         jax.lax.cond(jnp.any(alive), do_iter, skip_iter)
         return 0
@@ -521,7 +592,8 @@ def _regen_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, plane7,
     budget = n_banks * n_samples * max_depth
     n_chunks = -(-budget // _CHUNK)
     b_total = n_chunks * _CHUNK
-    n_res = 1 if emit_idx_only else _N_RES
+    soft = softness > 0.0
+    n_res = (2 if soft else 1) if emit_idx_only else _n_res(softness)
 
     kernel = functools.partial(
         _regen_fwd_kernel,
@@ -563,12 +635,16 @@ def _regen_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, plane7,
     f32res = jax.ShapeDtypeStruct((b_total, rows, _LANE), jnp.float32, vma=vma)
     i32res = jax.ShapeDtypeStruct((b_total, rows, _LANE), jnp.int32, vma=vma)
     if emit_idx_only:
-        res_dtypes = [jax.ShapeDtypeStruct(
+        packed_sds = jax.ShapeDtypeStruct(
             (b_total // _IDX_PACK, rows, _LANE), jnp.int32, vma=vma
-        )]
-        res_specs = [packed_out]
+        )
+        # Soft configs stream TWO packed planes: winner + blocker indices.
+        res_dtypes = [packed_sds] * n_res
+        res_specs = [packed_out] * n_res
     else:
         res_dtypes = [f32res] * 11 + [i32res] * 5 + [f32res] * 9
+        if soft:
+            res_dtypes += [i32res] + [f32res] * 4
         res_specs = [res_out] * n_res
     scratch = [pltpu.VMEM((_SUB, _LANE), jnp.uint32)] * 3 + [
         pltpu.VMEM((_SUB, _LANE), jnp.float32)
@@ -622,6 +698,7 @@ def _bwd_from_residuals(residuals, pix, soff, meta2, sky6, plane7, cts3,
     b_total = residuals[0].shape[0]
     n_chunks = b_total // _CHUNK
     s_pad = -(-s_real // 16) * 16
+    soft = softness > 0.0
 
     kernel = functools.partial(
         _regen_bwd_kernel,
@@ -665,13 +742,14 @@ def _bwd_from_residuals(residuals, pix, soff, meta2, sky6, plane7, cts3,
     sky_sds = jax.ShapeDtypeStruct((_SUB, _LANE), jnp.float32, vma=vma)
     scratch = [pltpu.VMEM((_SUB, _LANE), jnp.float32)] * 9
 
+    n_blk = 4 if soft else 0
     outs = pl.pallas_call(
         kernel,
         grid=(n_blocks, n_chunks),
         in_specs=[smem] * 3 + [res_in] * _N_RES + [bank_in, tile_in]
-        + [bank_in] * 3,
-        out_specs=tuple([res_out] * 9 + [pinned] * 10),
-        out_shape=tuple([f32res] * 9 + [sky_sds] * 10),
+        + [bank_in] * 3 + [res_in] * (5 if soft else 0),
+        out_specs=tuple([res_out] * (9 + n_blk) + [pinned] * 10),
+        out_shape=tuple([f32res] * (9 + n_blk) + [sky_sds] * 10),
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=400 * rows * _LANE * b_total,
@@ -680,13 +758,14 @@ def _bwd_from_residuals(residuals, pix, soff, meta2, sky6, plane7, cts3,
         ),
         interpret=interpret,
     )(
-        sky6, meta2, plane7, *residuals,
+        sky6, meta2, plane7, *residuals[:_N_RES],
         pix.astype(jnp.uint32), soff_tile,
-        ctr, ctg, ctb,
+        ctr, ctg, ctb, *residuals[_N_RES:],
     )
     attr_cts = outs[:9]
-    sky_parts = outs[9:15]
-    plane_parts = outs[15:]
+    blk_cts = outs[9:9 + n_blk]
+    sky_parts = outs[9 + n_blk:15 + n_blk]
+    plane_parts = outs[15 + n_blk:]
     idx = residuals[14]
     # Bucket every iteration's attribute cotangents (dead and unexecuted
     # iterations carry idx == -1 and exact-zero cotangents, and take the
@@ -702,13 +781,14 @@ def _bwd_from_residuals(residuals, pix, soff, meta2, sky6, plane7, cts3,
             g = cand
             break
     n_sl = b_total // g
-    if n_sl == 1:
-        flat = lambda a: a.reshape(b_total * rows, _LANE)  # noqa: E731
-        d_tab = bucket_cols_pallas(
-            tuple(flat(a) for a in attr_cts), flat(idx), s_pad,
-            interpret=interpret,
-        )
-    else:
+
+    def bucket_all(cols9, idxp):
+        if n_sl == 1:
+            flat = lambda a: a.reshape(b_total * rows, _LANE)  # noqa: E731
+            return bucket_cols_pallas(
+                tuple(flat(a) for a in cols9), flat(idxp), s_pad,
+                interpret=interpret,
+            )
         sl = lambda a: a.reshape(n_sl, g * rows, _LANE)  # noqa: E731
 
         def bucket_slice(acc, xs):
@@ -717,10 +797,20 @@ def _bwd_from_residuals(residuals, pix, soff, meta2, sky6, plane7, cts3,
                 cols, idx_s, s_pad, interpret=interpret
             ), None
 
-        d_tab, _ = jax.lax.scan(
+        out, _ = jax.lax.scan(
             bucket_slice,
             to_vma(jnp.zeros((s_pad, 9), jnp.float32)),
-            (tuple(sl(a) for a in attr_cts), sl(idx)),
+            (tuple(sl(a) for a in cols9), sl(idxp)),
+        )
+        return out
+
+    d_tab = bucket_all(attr_cts, idx)
+    if soft:
+        # Blocker-attr cotangents land in the same table rows (cx, cy, cz,
+        # r columns) keyed by the recorded blocker index (residual 25).
+        z = jnp.zeros_like(attr_cts[0])
+        d_tab = d_tab + bucket_all(
+            tuple(blk_cts) + (z, z, z, z, z), residuals[25]
         )
     d_sky6 = jnp.stack([jnp.sum(a) for a in sky_parts])
     d_plane4 = jnp.stack([jnp.sum(a) for a in plane_parts])
@@ -911,8 +1001,9 @@ def _regen_refwd_kernel(
     ta_ref,                       # [16, s_pad] attr matrix (pinned)
     pix_ref, xf_ref, yf_ref,      # (n_banks, 8, 128)
     soff_ref,                     # (8, 128) u32
-    idx_in,                       # (_CHUNK, 8, 128) i32 recorded winners
-    # outputs: the full _N_RES residual planes, then scratch (ray state)
+    idx_in,                       # packed i32 recorded winner indices
+    # then (soft only) the packed recorded blocker indices, then the
+    # full residual-plane outputs, then scratch (ray state)
     *rest,
     s_pad: int, n_banks: int, n_samples: int, max_depth: int,
     width: int, height: int, t_min: float, t_max: float,
@@ -927,9 +1018,14 @@ def _regen_refwd_kernel(
     emit_full=True — dead lanes excepted, whose stale-scan attributes the
     backward provably ignores (cotangents are masked by idx >= 0 and the
     carried cts across dead stretches are exactly zero)."""
-    res = rest[:_N_RES]
+    soft = softness > 0.0
+    if soft:
+        bidx_in = rest[0]
+        rest = rest[1:]
+    nr = _n_res(softness)
+    res = rest[:nr]
     (kb_s, s_s, b_s, alive_s,
-     ox_s, oy_s, oz_s, dx_s, dy_s, dz_s, tr_s, tg_s, tb_s) = rest[_N_RES:]
+     ox_s, oy_s, oz_s, dx_s, dy_s, dz_s, tr_s, tg_s, tb_s) = rest[nr:]
     f32 = jnp.float32
     shape = (_SUB, _LANE)
     k0, k1 = meta_ref[0], meta_ref[1]
@@ -1044,8 +1140,25 @@ def _regen_refwd_kernel(
 
             u = _uniforms7_tile(k0, k1, pix, samp, b)
             do_rr = b >= jnp.uint32(rr_start_depth)
-            sil = None
-            if softness > 0.0:
+            sil = blk = None
+            if soft:
+                # Recorded blocker index -> attrs via the same one-hot MXU
+                # gather (rows 0-3 of the attr matrix are cx cy cz r).
+                bw = bidx_in[kl // _IDX_PACK]
+                bf0 = bw & _IDX_MASK
+                bf1 = (bw >> _IDX_BITS) & _IDX_MASK
+                bf2 = (bw >> (2 * _IDX_BITS)) & _IDX_MASK
+                bfieldt = jnp.zeros(shape, jnp.int32) + (kl % _IDX_PACK)
+                bidxv = jnp.where(
+                    bfieldt == 0, bf0, jnp.where(bfieldt == 1, bf1, bf2)
+                ) - 1
+                ba9, _bmat = _gather_attrs(ta_ref, bidxv, s_pad)
+                blk = (bidxv >= 0, ba9[0], ba9[1], ba9[2], ba9[3])
+                res[25][kl] = bidxv
+                res[26][kl] = ba9[0]
+                res[27][kl] = ba9[1]
+                res[28][kl] = ba9[2]
+                res[29][kl] = ba9[3]
                 if use_plane:
                     sil = (jnp.where(idxv != PLANE_IDX, 1.0, 0.0), softness)
                 else:
@@ -1056,7 +1169,7 @@ def _regen_refwd_kernel(
                 (ox, oy, oz), (dx, dy, dz), (tr, tg, tb),
                 a9, wmat, hit, alive, u, sky6, do_rr,
                 t_min=t_min, t_max=t_max, rr_on=bool(rr_start_depth),
-                silhouette=sil, plane_mask=pm,
+                silhouette=sil, plane_mask=pm, blocker=blk,
             )
             b_next = b + jnp.uint32(1)
             surv = (surv_f > 0.0) & (b_next < jnp.uint32(max_depth))
@@ -1086,6 +1199,8 @@ def _regen_refwd_kernel(
         def body(kl, _):
             res[9][kl] = zero
             res[14][kl] = neg1
+            if soft:
+                res[25][kl] = neg1
             return 0
 
         jax.lax.fori_loop(0, _CHUNK, body, 0)
@@ -1096,9 +1211,13 @@ def _regen_refwd_kernel(
 def _refwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, plane7,
                 idx_planes, static_cfg, interpret):
     """pallas_call wrapper for the scan-free re-forward: one spp chunk's
-    full _N_RES residual planes from its recorded idx planes."""
+    full residual planes from its recorded idx plane(s) — ``idx_planes``
+    is (winner,) or (winner, blocker) packed plane arrays."""
     (n_banks, n_samples, max_depth, width, height, t_min, t_max,
      rr_start_depth, softness, use_plane) = static_cfg
+    soft = softness > 0.0
+    if not isinstance(idx_planes, tuple):
+        idx_planes = (idx_planes,)
     rows = pix.shape[1]
     n_blocks = rows // _SUB
     tables = pad_scene_tables(tables)
@@ -1107,7 +1226,9 @@ def _refwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, plane7,
     budget = n_banks * n_samples * max_depth
     n_chunks = -(-budget // _CHUNK)
     b_total = n_chunks * _CHUNK
-    assert idx_planes.shape[0] == b_total // _IDX_PACK, (idx_planes.shape, b_total)
+    assert idx_planes[0].shape[0] == b_total // _IDX_PACK, (
+        idx_planes[0].shape, b_total)
+    assert len(idx_planes) == (2 if soft else 1), (len(idx_planes), soft)
 
     kernel = functools.partial(
         _regen_refwd_kernel,
@@ -1131,7 +1252,7 @@ def _refwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, plane7,
         (_CHUNK // _IDX_PACK, _SUB, _LANE), lambda i, j: (j, i, 0),
         memory_space=pltpu.VMEM,
     )
-    vma = vma_union(pix, soff, meta2, *tables, sky6, plane7, idx_planes)
+    vma = vma_union(pix, soff, meta2, *tables, sky6, plane7, *idx_planes)
 
     def to_vma(x):
         missing = vma - getattr(jax.typeof(x), "vma", frozenset())
@@ -1141,12 +1262,16 @@ def _refwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, plane7,
         jnp.broadcast_to(jnp.asarray(soff, jnp.uint32), (rows, _LANE))
     )
     if vma:
-        pix, xf, yf, idx_planes, ta16, cam19, plane7 = (
-            to_vma(x) for x in (pix, xf, yf, idx_planes, ta16, cam19, plane7)
+        pix, xf, yf, ta16, cam19, plane7 = (
+            to_vma(x) for x in (pix, xf, yf, ta16, cam19, plane7)
         )
+        idx_planes = tuple(to_vma(x) for x in idx_planes)
+    nr = _n_res(softness)
     f32res = jax.ShapeDtypeStruct((b_total, rows, _LANE), jnp.float32, vma=vma)
     i32res = jax.ShapeDtypeStruct((b_total, rows, _LANE), jnp.int32, vma=vma)
     res_dtypes = [f32res] * 11 + [i32res] * 5 + [f32res] * 9
+    if soft:
+        res_dtypes += [i32res] + [f32res] * 4
     scratch = [pltpu.VMEM((_SUB, _LANE), jnp.uint32)] * 3 + [
         pltpu.VMEM((_SUB, _LANE), jnp.float32)
     ] * 10
@@ -1154,19 +1279,20 @@ def _refwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, plane7,
     outs = pl.pallas_call(
         kernel,
         grid=(n_blocks, n_chunks),
-        in_specs=[smem] * 4 + [ta_spec] + [bank_in] * 3 + [tile_in, packed_spec],
-        out_specs=tuple([res_spec] * _N_RES),
+        in_specs=[smem] * 4 + [ta_spec] + [bank_in] * 3 + [tile_in]
+        + [packed_spec] * len(idx_planes),
+        out_specs=tuple([res_spec] * nr),
         out_shape=tuple(res_dtypes),
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=400 * rows * _LANE * b_total,
-            bytes_accessed=4 * rows * _LANE * b_total * (_N_RES + 1),
+            bytes_accessed=4 * rows * _LANE * b_total * (nr + 1),
             transcendentals=16 * rows * _LANE * b_total,
         ),
         interpret=interpret,
     )(
         sky6, cam19, meta2, plane7, ta16,
-        pix.astype(jnp.uint32), xf, yf, soff_tile, idx_planes,
+        pix.astype(jnp.uint32), xf, yf, soff_tile, *idx_planes,
     )
     return tuple(outs)
 
@@ -1192,11 +1318,12 @@ def _stream_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, plane7,
             pix, xf, yf, soff_c, meta2, cam19, tables, sky6, plane7,
             static_cfg, interpret, emit_idx_only=True,
         )
-        return out4, res[0][0]
+        # res[0]: (winner,) or (winner, blocker) packed idx planes.
+        return out4, res[0]
 
     if n_chunks == 1:
-        out4, idx0 = one(jnp.asarray(0, jnp.int32))
-        return out4, idx0[None]
+        out4, planes0 = one(jnp.asarray(0, jnp.int32))
+        return out4, tuple(p[None] for p in planes0)
 
     # Scan over ALL chunks so the idx planes come straight out of the scan
     # stack — a concatenate of a separately-run first chunk doubles the idx
@@ -1217,8 +1344,8 @@ def _stream_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, plane7,
     )
 
     def step(carry, c):
-        o4, idx_c = one(c)
-        return tuple(a + b for a, b in zip(carry, o4)), idx_c
+        o4, planes_c = one(c)
+        return tuple(a + b for a, b in zip(carry, o4)), planes_c
 
     out4, idxs = jax.lax.scan(
         step, carry0, jnp.arange(n_chunks, dtype=jnp.int32)
@@ -1243,7 +1370,7 @@ def _regen_stream_bwd_rule(stream_cfg, interpret, resaux, ct):
     chunk = static_cfg[1]
     ctr, ctg, ctb, _ct_n = ct
     s_pad = -(-s_real // 16) * 16
-    vma = vma_union(ctr, pix, idxs, *tables)
+    vma = vma_union(ctr, pix, *idxs, *tables)
 
     def to_vma(x):
         missing = vma - getattr(jax.typeof(x), "vma", frozenset())

@@ -136,7 +136,8 @@ def stream_capacity_spp(config: RenderConfig, scene) -> int:
 
     if scene.num_spheres > IDX_PACK_MAX_SPHERES:
         return 0
-    per_spp = 4 * config.num_pixels * max(1, config.max_depth)
+    planes = 2 if config.silhouette_softness > 0.0 else 1
+    per_spp = planes * 4 * config.num_pixels * max(1, config.max_depth)
     return int(_IDX_PACK * _IDX_PLANE_BUDGET // per_spp)
 
 
@@ -620,7 +621,9 @@ def render_pixel_block(scene, camera, config, key, pixel_ids, sample_offset, n_s
             # and remat's re-forward (13.6 M sustained) beats both the
             # checkpointed stream (2x phase A + B ~ 12.8 M) and a pure-fwd +
             # per-group stream (~12.6 M) at bench scale (BASELINE.md r4).
-            4 * p * n_samples * config.max_depth
+            # Soft configs stream a second packed plane (blocker indices).
+            (2 if config.silhouette_softness > 0.0 else 1)
+            * 4 * p * n_samples * config.max_depth
             <= _IDX_PACK * _IDX_PLANE_BUDGET
             # 10-bit packed idx+1 must hold every padded sphere slot.
             and scene.num_spheres <= IDX_PACK_MAX_SPHERES

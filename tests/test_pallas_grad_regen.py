@@ -495,13 +495,12 @@ def test_plane_stream_matches_remat():
 
 def test_plane_albedo_fit_recovers_offset_grad_exact():
     """BASELINE config-4 extension: the plane is a differentiable leaf
-    through the regen kernels.  Albedo RECOVERS by fit here; the offset's
-    gradient is EXACT vs the jnp bounce (below) and a same-sign
-    ~half-magnitude estimator of the true edge derivative (the one-sided
-    blend sees the hit side of occlusion edges only) — its SNR needs
-    production-scale sampling, so offset-fit CONVERGENCE is asserted in
-    the on-chip suite (tests/test_tpu_smoke.py::
-    test_plane_offset_fit_converges_on_chip: 0.8 -> 0.508 vs truth 0.5 at
+    through the regen kernels.  Albedo RECOVERS by fit here (softness 0 —
+    the mask freezes the offset, and an albedo-only objective needs no
+    visibility gradients; the round-5 stochastic-transparency estimator
+    would only add silhouette-coin noise at this 8-spp toy scale).
+    Offset-fit CONVERGENCE is asserted in the on-chip suite
+    (tests/test_tpu_smoke.py::test_plane_offset_fit_converges_on_chip at
     320x160@256spp) rather than at this file's toy scale, where the
     MC-noise floor's own k-dependence dominates."""
     scene, cam, cfg, key = _plane_setup(width=48, height=24, spp=8, depth=3)
@@ -515,7 +514,7 @@ def test_plane_albedo_fit_recovers_offset_grad_exact():
     mask = {"plane": jnp.zeros((7,), jnp.float32).at[4:].set(1.0)}
     recovered, losses = inverse.fit(
         perturbed, target, cam, _regen(cfg), key, steps=30, lr=3e-2,
-        leaves=("plane",), param_mask=mask,
+        leaves=("plane",), param_mask=mask, softness=0.0,
     )
     err0 = float(jnp.abs(jnp.asarray(perturbed.plane)[4:] - truth[4:]).max())
     err1 = float(jnp.abs(jnp.asarray(recovered.plane)[4:] - truth[4:]).max())
@@ -567,10 +566,18 @@ def test_stream_plane_soft_rr_combined():
         a, b = np.asarray(g_c[k]), np.asarray(g_s[k])
         np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-7, err_msg=k)
     l_j, g_j = _grads(scene, cam, cfg, key, target)
-    np.testing.assert_allclose(float(l_j), float(l_s), rtol=1e-5)
+    # jnp vs kernels: the stochastic-transparency scheme (round 5) makes a
+    # borderline acceptance coin a DISCONTINUOUS knife edge — the jnp
+    # matmul-form discriminant vs the kernels' elementwise form can flip
+    # one, jumping that sample's radiance.  Aggregate bounds, like the
+    # hard-scan winner-flip tests (CLAUDE.md round 3).
+    np.testing.assert_allclose(float(l_j), float(l_s), rtol=2e-3)
     for k in g_j:
         a, b = np.asarray(g_j[k]), np.asarray(g_s[k])
-        np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-5, err_msg=k)
+        err = np.linalg.norm(b - a) / (np.linalg.norm(a) + 1e-12)
+        assert err < 0.05 or np.linalg.norm(b - a) < 1e-4, (
+            f"leaf {k}: relative L2 grad error {err}"
+        )
 
 
 def test_regen_gradients_random_scene():
