@@ -194,6 +194,104 @@ def make_accum_grad_step(static_scene, target, camera, config,
     return step
 
 
+# Camera leaves that receive gradients under fit_camera (round 5): the
+# pose + intrinsics the VERDICT names.  vup stays fixed (a unit-ish
+# reference direction; optimizing it without a norm constraint drifts),
+# aperture/focus_dist are available but off by default (their loss signal
+# is defocus blur, which MC noise swamps at fit scale).
+CAMERA_LEAVES = ("origin", "lookat", "vfov_deg")
+
+
+def split_camera(camera: Camera, leaves=CAMERA_LEAVES):
+    return {k: getattr(camera, k) for k in leaves}, camera
+
+
+def merge_camera(params, camera: Camera) -> Camera:
+    return camera.replace(**params)
+
+
+def camera_pixel_loss(cam_params, camera0, scene, target, config, key,
+                      decoupled=False):
+    """MSE in linear radiance as a function of CAMERA parameters.
+
+    Routes through grad_safe_config + camera_grad=True: XLA-side
+    differentiable ray generation feeding the fused trace (whose custom
+    VJP returns per-ray origin/direction cotangents) or the jnp bounce —
+    the regen/raygen kernels detach the camera and are excluded.  With
+    ``decoupled`` (soft configs) the gradient uses the independent-pair
+    estimator, same rationale as pixel_loss_decoupled.
+    """
+    config = grad_safe_config(config).replace(
+        camera_grad=True, grad_regen=False,
+    )
+    camera = merge_camera(cam_params, camera0)
+    if not decoupled:
+        acc = render_sample_batch(scene, camera, config, key, 0, config.spp)
+        img = (acc / config.spp).reshape(target.shape)
+        return jnp.mean((img - target) ** 2)
+    spp = int(config.spp)
+    h = max(spp // 2, 1)
+    sg = jax.lax.stop_gradient
+    cam_sg = jax.tree.map(sg, camera)
+    acc_a = render_sample_batch(scene, cam_sg, config, key, 0, h)
+    acc_b = render_sample_batch(scene, camera, config, key, h, spp - h)
+    t = target.reshape(-1, 3)
+    img = (acc_a + acc_b) / spp
+    value = jnp.mean((img - t) ** 2)
+    resid = sg(2.0 * (acc_a / h - t) / t.size)
+    gterm = jnp.sum(resid * acc_b) / (spp - h)
+    return sg(value - gterm) + gterm
+
+
+def fit_camera(
+    scene: Scene,
+    target,
+    camera_init: Camera,
+    config: RenderConfig,
+    key,
+    steps: int = 100,
+    lr: float = 1e-2,
+    leaves=CAMERA_LEAVES,
+    callback=None,
+    softness: float = 0.02,
+):
+    """Adam-optimize camera pose/intrinsics against a target image
+    (pose recovery — the camera-side counterpart of ``fit``).
+
+    ``softness`` enables the two-sided silhouette estimator: a camera
+    move shifts every silhouette, and for sky-lit Lambertian scenes the
+    edges carry most of the pose signal (interior shading is nearly
+    view-independent).  Soft-to-soft objective + decoupled-residual
+    gradient, like scene-geometry fits.  Returns (camera, losses).
+    """
+    opt = make_optimizer(lr)
+    params, camera0 = split_camera(camera_init, leaves)
+    opt_state = opt.init(params)
+    if softness:
+        config = config.replace(silhouette_softness=float(softness))
+    decoupled = config.silhouette_softness > 0.0
+
+    @jax.jit
+    def step_fn(params, opt_state, step_key):
+        loss, grads = jax.value_and_grad(camera_pixel_loss)(
+            params, camera0, scene, target, config, step_key,
+            decoupled=decoupled,
+        )
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    losses = []
+    for i in range(steps):
+        params, opt_state, loss = step_fn(
+            params, opt_state, jax.random.fold_in(key, i)
+        )
+        losses.append(float(loss))
+        if callback is not None:
+            callback(i, losses[-1], params)
+    return merge_camera(params, camera0), losses
+
+
 class InverseState(NamedTuple):
     params: dict
     opt_state: optax.OptState

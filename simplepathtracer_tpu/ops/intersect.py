@@ -122,6 +122,40 @@ def intersect_scene_pallas(
 # saturates the sigmoid exactly in f32 and keeps every vjp finite.
 _XS_CLAMP = 30.0
 
+# Radius cap in the silhouette band scale (below): for object-sized
+# spheres (r << R0) the band is the established soft * r^2; for giant
+# spheres the raw r^2 scaling is a parameterization artifact — a 100-radius
+# ground sphere's band would span ~15 * soft * r = 75 world units at
+# soft 0.05, making its ENTIRE visible area stochastic (measured: its
+# geometry AD/FD lands wrong-signed in the noise while object spheres
+# validate at ~1.0).  The cap bounds the band to ~soft * R0 world units.
+_SIL_R0 = 8.0
+
+
+def silhouette_scale(softness, r):
+    """Shared silhouette band scale sigma(r): disc / sigma is the logistic
+    argument and logit(u) * sigma the acceptance threshold.
+
+    sigma = soft * r^2 * R0 / (R0 + |r|): equals soft * r^2 for r << R0
+    (band half-width ~15 * soft * r near the edge), saturating to
+    soft * |r| * R0 for giant spheres (world-space half-width ~7.5 *
+    soft * R0, radius-independent).  Smooth and differentiable in r;
+    negative (hollow-glass) radii work through |r|.  Op order must match
+    between the jnp paths and the Pallas kernels (borderline acceptance
+    coins are knife edges)."""
+    c = jnp.float32(softness * _SIL_R0)
+    return (r * r) * c / (jnp.float32(_SIL_R0) + jnp.abs(r))
+
+
+# Estimator-ablation switch (module-level, read at trace time): the
+# detached Schlick-coin probability ratio in scatter paths under soft
+# configs.  Formally unbiased (captures dP * (L_refl - L_refr)), but
+# MEASURED net-harmful at realistic sampling — the grazing-side weight
+# 1/(1 - reflect_prob) is heavy-tailed and moved the glass-scene geometry
+# AD/FD from 1.24 to 1.56 at 256 spp (experiments/r5_estimator_grid.py).
+# Default OFF; the switch remains for A/B.
+SIL_FRESNEL = False
+
 # Floor on the realized-outcome probability p = We - M in the detached
 # REINFORCE ratio p / stop_grad(p): caps the per-sample weight |dp| / p at
 # 1/floor (the raw weight is heavy-tailed — P(p < x) ~ x for a uniform
@@ -130,6 +164,29 @@ _XS_CLAMP = 30.0
 # floor are under-weighted by p/floor — a bias bounded by the floor itself;
 # measured AD/FD stays ~1.0 through 3e-2 (experiments/r5_two_sided_fd.py).
 SIL_P_FLOOR = 1e-2
+
+
+def grad_capped_sqrt(dmax, scale):
+    """sqrt(dmax) in VALUE with its derivative capped at 1/(2 sqrt(scale)).
+
+    The hit-t reconstruction t = tc -/+ sqrt(disc) has d t / d disc =
+    1/(2 sqrt(disc)) — unbounded at grazing hits, and under the soft
+    scheme grazing/phantom winners are COMMON (the band samples them on
+    purpose), so a handful of near-tangent chains carry 1e3-1e5x weights
+    and the sampled geometry gradient sits persistently ~10-30% high of FD
+    (experiments/r5_estimator_grid.py).  Within the silhouette band the
+    surface position is fuzzy at the band scale anyway; capping the
+    derivative there is the consistent smoothing:
+
+        value    = sqrt(dmax)                       (bit-exact forward*)
+        gradient = d sqrt(dmax + scale)             (<= 1/(2 sqrt(scale)))
+
+    (*) value is sqrt(dmax) up to one f32 rounding of the stop_gradient
+    identity x = sg(x - y) + y.  Soft paths only.
+    """
+    exact = jnp.sqrt(dmax)
+    capped = jnp.sqrt(dmax + scale)
+    return jax.lax.stop_gradient(exact - capped) + capped
 
 
 def silhouette_logit(u):
@@ -195,8 +252,9 @@ def intersect_scene_soft(
     )
     r2 = radii * radii
     disc = r2[None, :] - (oc2 - tc * tc)
-    thr = silhouette_logit(u)[:, None] * (softness * r2)[None, :]
-    sq = jnp.sqrt(jnp.maximum(disc, _DISC_EPS))
+    scale = silhouette_scale(softness, radii)
+    thr = silhouette_logit(u)[:, None] * scale[None, :]
+    sq = grad_capped_sqrt(jnp.maximum(disc, _DISC_EPS), scale[None, :])
     t_near = tc - sq
     t = jnp.where(t_near > t_min, t_near, tc + sq)
     accept = (disc > thr) & (t > t_min) & (t < t_max)

@@ -49,14 +49,15 @@ def _safe_normalize(v, fallback):
     return jnp.where(n2 > 1e-12, unit, fallback)
 
 
-def scatter(dirs, hit, scene, unif):
+def scatter(dirs, hit, scene, unif, fresnel_score=False):
     """One surface interaction for every ray in the wavefront.
 
     Args:
       dirs: [N,3] incident unit directions.
       hit: Hit namedtuple from intersect_scene.
       scene: Scene.
-      unif: [N,7] uniforms (bounce_noise column contract).
+      unif: [N,8] uniforms (bounce_noise column contract).
+      fresnel_score: see scatter_attrs.
 
     Returns (new_dirs [N,3], attenuation [N,3], scattered [N] bool).
     ``scattered`` is False for metal rays absorbed into the surface
@@ -66,10 +67,13 @@ def scatter(dirs, hit, scene, unif):
     albedo = scene.albedo[hit.index]         # [N,3]
     fuzz = scene.fuzz[hit.index]             # [N]
     ior = scene.ior[hit.index]               # [N]
-    return scatter_attrs(dirs, hit.normal, mat, albedo, fuzz, ior, unif)
+    return scatter_attrs(
+        dirs, hit.normal, mat, albedo, fuzz, ior, unif,
+        fresnel_score=fresnel_score,
+    )
 
 
-def scatter_attrs(dirs, n, mat, albedo, fuzz, ior, unif):
+def scatter_attrs(dirs, n, mat, albedo, fuzz, ior, unif, fresnel_score=False):
     """scatter() on pre-gathered per-ray attributes.
 
     The gradient fast path fetches all float attributes through ONE fused
@@ -122,6 +126,25 @@ def scatter_attrs(dirs, n, mat, albedo, fuzz, ior, unif):
     is_diel = mat == Material.DIELECTRIC
     new_dirs = jnp.where(is_metal[:, None], metal_dir, lam_dir)
     new_dirs = jnp.where(is_diel[:, None], diel_dir, new_dirs)
-    attenuation = jnp.where(is_diel[:, None], jnp.ones_like(albedo), albedo)
+    diel_att = jnp.ones_like(albedo)
+    if fresnel_score:
+        # Detached Schlick-coin probability ratio (round 5, soft configs):
+        # the realized branch's probability p (reflect_prob on reflection —
+        # 1 under TIR — else 1 - reflect_prob) over its own stop_gradient
+        # == 1.0 exactly in fp, and its vjp carries dP * (L_realized) —
+        # in expectation the Fresnel-coin gradient dP * (L_refl - L_refr)
+        # the locally-constant-coin treatment drops (measured ~+0.3 of
+        # geometry AD/FD on the specular trio).  Same floor policy as the
+        # silhouette ratio (grazing 1 - reflect_prob can be tiny).
+        from .intersect import SIL_P_FLOOR
+
+        p_evt = jnp.where(
+            do_reflect,
+            jnp.where(cannot_refract, 1.0, reflect_prob),
+            1.0 - reflect_prob,
+        )
+        p_evt = jnp.maximum(p_evt, SIL_P_FLOOR)
+        diel_att = (p_evt / jax.lax.stop_gradient(p_evt))[:, None] * diel_att
+    attenuation = jnp.where(is_diel[:, None], diel_att, albedo)
     scattered = jnp.where(is_metal, metal_ok, True)
     return new_dirs, attenuation, scattered

@@ -209,10 +209,15 @@ def closest_hit_scan_soft(
     Returns (winner 12-tuple like closest_hit_scan) + (bidx, bcx, bcy,
     bcz, brr) blocker tiles (bidx == -1: none).
     """
+    from .intersect import _SIL_R0
+
     cx_ref, cy_ref, cz_ref, rad_ref, r2_ref, ar_ref, ag_ref, ab_ref, m_ref, f_ref, i_ref = table_refs
     shape = (SUB, LANE)
     f32 = jnp.float32
-    thr = silhouette_logit_tile(u_coin) * np.float32(softness)
+    lgt = silhouette_logit_tile(u_coin)
+    # Band-scale constants (intersect.silhouette_scale, same op order).
+    c_scale = np.float32(softness * _SIL_R0)
+    r0c = np.float32(_SIL_R0)
     init = (
         jnp.full(shape, t_max, f32), jnp.full(shape, -1, jnp.int32),
         jnp.zeros(shape, f32), jnp.zeros(shape, f32), jnp.zeros(shape, f32),
@@ -241,7 +246,8 @@ def closest_hit_scan_soft(
         t_near = tc - sq
         t = jnp.where(t_near > t_min, t_near, tc + sq)
         in_front = (t > t_min) & (t < bt)   # exclusive running best
-        accept = disc > thr * sr2
+        scale = sr2 * c_scale / (r0c + jnp.abs(sr))
+        accept = disc > lgt * scale
         # Blocker first (uses the PRE-update running best t).
         score = disc / sr2
         qok = (~accept) & in_front & (score > qs)
@@ -429,13 +435,16 @@ def sky_components(sky_ref, dy):
     )
 
 
-def scatter_tiles(dx, dy, dz, nx, ny, nz, mat, ar, ag, ab, fz, io, u):
+def scatter_tiles(dx, dy, dz, nx, ny, nz, mat, ar, ag, ab, fz, io, u,
+                  fresnel_score=False):
     """Branchless Lambertian/metal/dielectric scatter on tiles.
 
     u: 6 uniform tiles (bounce_noise columns 0-5).  Returns
     (sdx, sdy, sdz, atr, atg, atb, scattered) — the scattered unit
     direction, rgb attenuation, and the metal-absorption mask.  Semantics
-    identical to ops/materials.scatter (the jnp reference).
+    identical to ops/materials.scatter (the jnp reference), including the
+    detached Schlick-coin probability ratio under ``fresnel_score`` (soft
+    configs; see scatter_attrs).
     """
     d_dot_n = dx * nx + dy * ny + dz * nz
     front = d_dot_n < 0.0
@@ -511,8 +520,19 @@ def scatter_tiles(dx, dy, dz, nx, ny, nz, mat, ar, ag, ab, fz, io, u):
     sdx = jnp.where(is_diel, diex, sdx)
     sdy = jnp.where(is_diel, diey, sdy)
     sdz = jnp.where(is_diel, diez, sdz)
-    atr = jnp.where(is_diel, 1.0, ar)
-    atg = jnp.where(is_diel, 1.0, ag)
-    atb = jnp.where(is_diel, 1.0, ab)
+    diel_att = 1.0
+    if fresnel_score:
+        # Detached Schlick-coin probability ratio — formula shared with
+        # ops/materials.scatter_attrs (see there for the estimator note).
+        from .intersect import SIL_P_FLOOR
+
+        p_evt = jnp.where(
+            do_refl, jnp.where(cannot, 1.0, refl_p), 1.0 - refl_p
+        )
+        p_evt = jnp.maximum(p_evt, np.float32(SIL_P_FLOOR))
+        diel_att = p_evt / jax.lax.stop_gradient(p_evt)
+    atr = jnp.where(is_diel, diel_att, ar)
+    atg = jnp.where(is_diel, diel_att, ag)
+    atb = jnp.where(is_diel, diel_att, ab)
     scattered = metal_ok | ~is_metal
     return sdx, sdy, sdz, atr, atg, atb, scattered

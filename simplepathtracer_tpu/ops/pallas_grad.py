@@ -51,7 +51,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .intersect import SIL_P_FLOOR
+from .intersect import SIL_P_FLOOR, silhouette_scale
 from .pallas_common import (
     LANE as _LANE,
     SUB as _SUB,
@@ -67,6 +67,14 @@ from .pallas_common import (
 
 _BLOCK = _SUB * _LANE
 _DISC_EPS = 1e-12  # == ops/intersect._DISC_EPS (gradient floor at grazing hits)
+
+
+def _SIL_FRESNEL_ON():
+    """Trace-time read of the estimator-ablation switch (intersect
+    .SIL_FRESNEL) — module attribute so experiments can A/B it."""
+    from . import intersect
+
+    return intersect.SIL_FRESNEL
 
 
 def _uniforms7(k0, k1, pix, samp, bounce):
@@ -142,7 +150,16 @@ def bounce_tile(
     tc = ocx * dx + ocy * dy + ocz * dz
     oc2 = ocx * ocx + ocy * ocy + ocz * ocz
     disc = r * r - (oc2 - tc * tc)
-    sq = jnp.sqrt(jnp.maximum(disc, _DISC_EPS))
+    if silhouette is not None:
+        # Grazing/phantom winners are common under the soft scheme; cap
+        # d sqrt at the band scale (value-exact, see grad_capped_sqrt).
+        from .intersect import grad_capped_sqrt
+
+        sq = grad_capped_sqrt(
+            jnp.maximum(disc, _DISC_EPS), silhouette_scale(silhouette[1], r)
+        )
+    else:
+        sq = jnp.sqrt(jnp.maximum(disc, _DISC_EPS))
     t_near = tc - sq
     t = jnp.where(t_near > t_min, t_near, tc + sq)
     t = jnp.where(hit, t, t_max)
@@ -175,7 +192,7 @@ def bounce_tile(
         # exactly in f32 and zero the vjp on dead lanes' garbage attrs.
         smask, soft = silhouette
         xs = jnp.clip(
-            disc / (np.float32(soft) * r * r + 1e-12), -30.0, 30.0
+            disc / (silhouette_scale(soft, r) + 1e-12), -30.0, 30.0
         )
         w = 1.0 / (1.0 + jnp.exp(-xs))
         live_s = alive & hit
@@ -189,7 +206,7 @@ def bounce_tile(
         ocb2 = ocbx * ocbx + ocby * ocby + ocbz * ocbz
         discb = brr * brr - (ocb2 - tcb * tcb)
         xsb = jnp.clip(
-            discb / (np.float32(soft) * brr * brr + 1e-12), -30.0, 30.0
+            discb / (silhouette_scale(soft, brr) + 1e-12), -30.0, 30.0
         )
         mb = 1.0 / (1.0 + jnp.exp(-xsb))
         # Would-be hit t of the blocker strictly in front of the winner
@@ -205,7 +222,8 @@ def bounce_tile(
         tb = tb * srat
 
     sdx, sdy, sdz, atr, atg, atb, scattered = scatter_tiles(
-        dx, dy, dz, nx, ny, nz, mat, ar, ag, ab, fz, io, u
+        dx, dy, dz, nx, ny, nz, mat, ar, ag, ab, fz, io, u,
+        fresnel_score=silhouette is not None and _SIL_FRESNEL_ON(),
     )
 
     # Sky miss shader (materials.sky_color lerp).

@@ -207,7 +207,11 @@ def _regen_fwd_kernel(
 
     def do_chunk():
         def body(kl, words):
-            word, bword = words
+            # Pack-word carry: (winner,) — plus the blocker word only under
+            # the soft scheme (an always-carried dead register would cost
+            # the register-pressure-bound scan).
+            word = words[0]
+            bword = words[1] if soft else None
             alive = alive_s[:] > 0.0
             kb = kb_s[:]
             s = s_s[:]
@@ -370,10 +374,11 @@ def _regen_fwd_kernel(
             )
             kb_s[:] = jnp.where(flush, kb + jnp.uint32(1), kb)
             alive_s[:] = jnp.where(surv, 1.0, 0.0)
-            return (word, bword)
+            return (word, bword) if soft else (word,)
 
         zero_i = jnp.zeros(shape, jnp.int32)
-        jax.lax.fori_loop(0, _CHUNK, body, (zero_i, zero_i))
+        init = (zero_i, zero_i) if soft else (zero_i,)
+        jax.lax.fori_loop(0, _CHUNK, body, init)
 
     def skip_chunk():
         # Fully-finished block: mark the chunk's iterations dead so the
@@ -1405,9 +1410,90 @@ def _regen_stream_bwd_rule(stream_cfg, interpret, resaux, ct):
 _regen_trace_stream.defvjp(_regen_stream_fwd_rule, _regen_stream_bwd_rule)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def _regen_trace_ckstream(pix, xf, yf, soff, meta2, cam19, tables, sky6,
+                          plane7, stream_cfg, interpret):
+    out, _ = _stream_fwd_impl(
+        pix, xf, yf, soff, meta2, cam19, tables, sky6, plane7, stream_cfg,
+        interpret
+    )
+    return out
+
+
+def _ckstream_fwd_rule(pix, xf, yf, soff, meta2, cam19, tables, sky6,
+                       plane7, stream_cfg, interpret):
+    # Same forward as the streamed path, but the idx planes are DISCARDED
+    # (holding every chunk's planes is exactly what exceeds the budget
+    # beyond ~500 spp); the backward re-records them one chunk at a time.
+    out4, _idxs = _stream_fwd_impl(
+        pix, xf, yf, soff, meta2, cam19, tables, sky6, plane7, stream_cfg,
+        interpret
+    )
+    return out4, (pix, xf, yf, soff, meta2, cam19, tables, sky6, plane7,
+                  tables[0].shape[0])
+
+
+def _ckstream_bwd_rule(stream_cfg, interpret, resaux, ct):
+    """Deterministic beyond-capacity gradient (round-5 VERDICT item 4).
+
+    Per chunk: re-run the idx-RECORD forward (the same pallas_call jaxpr —
+    and therefore the same Mosaic binary — as the value pass, so the
+    re-recorded winners are bit-identical to the value pass's), then the
+    scan-free replay + backward consume the RECORDED planes.  Only one
+    chunk's idx planes are ever live.  This replaces the jax.checkpoint
+    remat fallback, whose REPLAYED forward was a different XLA program
+    that could flip knife-edge winners at many-sphere scenes (CLAUDE.md
+    round 4).  Cost: one extra scan pass per chunk vs the remat fallback's
+    re-forward — measured ~6% at bench scale (BASELINE round 4's
+    "checkpointed stream"), only paid beyond streamed-idx capacity.
+    """
+    (pix, xf, yf, soff, meta2, cam19, tables, sky6, plane7,
+     s_real) = resaux
+    static_cfg, n_chunks = stream_cfg
+    chunk = static_cfg[1]
+    ctr, ctg, ctb, _ct_n = ct
+    s_pad = -(-s_real // 16) * 16
+    vma = vma_union(ctr, pix, *tables)
+
+    def to_vma(x):
+        missing = vma - getattr(jax.typeof(x), "vma", frozenset())
+        return jax.lax.pcast(x, tuple(missing), to="varying") if missing else x
+
+    def step(carry, c):
+        soff_c = soff + jnp.uint32(chunk) * c.astype(jnp.uint32)
+        _out4, res = _regen_fwd_impl(
+            pix, xf, yf, soff_c, meta2, cam19, tables, sky6, plane7,
+            static_cfg, interpret, emit_idx_only=True,
+        )
+        res25 = _refwd_impl(
+            pix, xf, yf, soff_c, meta2, cam19, tables, sky6, plane7,
+            res[0], static_cfg, interpret,
+        )
+        d_tab, d_sky, d_pl = _bwd_from_residuals(
+            res25, pix, soff_c, meta2, sky6, plane7, (ctr, ctg, ctb),
+            static_cfg, interpret, s_real,
+        )
+        return (carry[0] + d_tab, carry[1] + d_sky, carry[2] + d_pl), None
+
+    init = (
+        to_vma(jnp.zeros((s_pad, 9), jnp.float32)),
+        to_vma(jnp.zeros((6,), jnp.float32)),
+        to_vma(jnp.zeros((4,), jnp.float32)),
+    )
+    (d_tab, d_sky6, d_plane4), _ = jax.lax.scan(
+        step, init, jnp.arange(n_chunks, dtype=jnp.int32)
+    )
+    return _tables_from_cols(
+        d_tab, d_sky6, d_plane4, pix, xf, yf, soff, meta2, cam19, s_real
+    )
+
+
+_regen_trace_ckstream.defvjp(_ckstream_fwd_rule, _ckstream_bwd_rule)
+
+
 def render_block_grad_regen_stream(
     scene, camera, config, key, pixel_ids, sample_offset, n_samples, chunk,
-    n_banks=None,
+    n_banks=None, checkpoint_idx=False,
 ):
     """Differentiable per-pixel radiance SUM over ``n_samples`` via the
     streamed-idx scheme: one idx-only forward over all samples, then (under
@@ -1450,7 +1536,11 @@ def render_block_grad_regen_stream(
         use_plane,
     )
     stream_cfg = (static_cfg, int(n_samples) // int(chunk))
-    out_r, out_g, out_b, _out_n = _regen_trace_stream(
+    # checkpoint_idx: the beyond-capacity DETERMINISTIC fallback — idx
+    # planes are re-recorded per chunk in the backward instead of held for
+    # every chunk (see _ckstream_bwd_rule).
+    trace = _regen_trace_ckstream if checkpoint_idx else _regen_trace_stream
+    out_r, out_g, out_b, _out_n = trace(
         pix, xf, yf, jnp.asarray(sample_offset, jnp.uint32), meta2, cam19,
         tables, sky6, plane7, stream_cfg, bool(config.pallas_interpret),
     )

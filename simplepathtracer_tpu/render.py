@@ -296,7 +296,14 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
                 wr = scene.radii[hit.index]
             else:
                 hit = intersect_scene(o, d, scene, config.t_min, config.t_max)
-            new_d, att, scattered = scatter(d, hit, scene, unif)
+            from .ops import intersect as _I
+
+            new_d, att, scattered = scatter(
+                d, hit, scene, unif,
+                fresnel_score=(
+                    config.silhouette_softness > 0.0 and _I.SIL_FRESNEL
+                ),
+            )
         else:
             # Sphere scan + Lambertian ground-plane candidate (the
             # reference's dead Collision.hpp:73-85, live here).  Where the
@@ -335,8 +342,13 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
             alb = jnp.where(pw[:, None], scene.plane[None, 4:7], scene.albedo[i])
             fz = jnp.where(pw, 0.0, scene.fuzz[i])
             io = jnp.where(pw, 1.0, scene.ior[i])
+            from .ops import intersect as _I
+
             new_d, att, scattered = scatter_attrs(
-                d, hit.normal, mat, alb, fz, io, unif
+                d, hit.normal, mat, alb, fz, io, unif,
+                fresnel_score=(
+                    config.silhouette_softness > 0.0 and _I.SIL_FRESNEL
+                ),
             )
             if config.silhouette_softness > 0.0:
                 # Plane wins have no silhouette term (pw_mask excludes them).
@@ -356,11 +368,15 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
             # expectation.  The round-4 one-sided blend measured AD/FD =
             # 0.49 on geometry leaves because it dropped the L_behind side.
             # Formula shared with ops/pallas_grad.bounce_tile.
+            from .ops.intersect import silhouette_scale
+
             soft = config.silhouette_softness
             oc = wc3 - o
             tcw = jnp.sum(oc * d, -1)
             discw = wr * wr - (jnp.sum(oc * oc, -1) - tcw * tcw)
-            xsw = jnp.clip(discw / (soft * wr * wr + 1e-12), -30.0, 30.0)
+            xsw = jnp.clip(
+                discw / (silhouette_scale(soft, wr) + 1e-12), -30.0, 30.0
+            )
             sphere_win = alive & hit.hit
             if pw_mask is not None:
                 sphere_win = sphere_win & ~pw_mask
@@ -371,7 +387,9 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
             ocb = bc - o
             tcb = jnp.sum(ocb * d, -1)
             discb = brr * brr - (jnp.sum(ocb * ocb, -1) - tcb * tcb)
-            xsb = jnp.clip(discb / (soft * brr * brr + 1e-12), -30.0, 30.0)
+            xsb = jnp.clip(
+                discb / (silhouette_scale(soft, brr) + 1e-12), -30.0, 30.0
+            )
             # Validity: recorded, live lane, and the blocker's WOULD-BE hit
             # t (same clamped-sqrt formula as an accepted winner) strictly
             # in front of the FINAL winner (the scan's running-min filter
@@ -442,11 +460,15 @@ def render_pixels(
         config.use_pallas_grad
         and not config.use_pallas
         and scene.plane is None
+        and not config.camera_grad
     ):
         # Fully-fused fast path incl. in-kernel camera ray generation — the
         # XLA-side threefry + ray math + packing was a measured ~35 ms
         # fixed cost per bench-scale dispatch.  Soft-silhouette configs run
         # here too since round 4 (the blend lives inside bounce_tile).
+        # camera_grad configs skip it: the raygen kernel detaches the
+        # camera, while generate_rays below is differentiable and the
+        # fused trace returns ray cotangents.
         from .ops.pallas_grad import trace_pixels_fused
 
         return trace_pixels_fused(camera, keys, scene, config)
@@ -593,8 +615,12 @@ def render_pixel_block(scene, camera, config, key, pixel_ids, sample_offset, n_s
 
     # Regen kernels cover every scene since round 4: sphere-only, ground
     # plane (virtual-unit-sphere winner, PLANE_IDX code), and soft
-    # silhouettes (in-bounce blend).
-    use_regen = config.use_pallas_grad and config.grad_regen
+    # silhouettes (in-bounce blend).  camera_grad excludes them (they
+    # consume pixel ids directly; the camera never enters as rays).
+    use_regen = (
+        config.use_pallas_grad and config.grad_regen
+        and not config.camera_grad
+    )
     unperm = lambda rad: rad  # noqa: E731
     if config.use_pallas_grad and not use_regen:
         pixel_ids, unperm = _coherent_pixel_order(pixel_ids, config)
@@ -609,9 +635,11 @@ def render_pixel_block(scene, camera, config, key, pixel_ids, sample_offset, n_s
         chunk = next(c for c in range(chunk, 0, -1) if n_samples % c == 0)
     n_steps = n_samples // chunk
 
+    idx_packable = False
     if use_regen and n_steps > 1 and config.grad_regen_stream:
         from .ops.pallas_grad_regen import IDX_PACK_MAX_SPHERES, _IDX_PACK
 
+        idx_packable = scene.num_spheres <= IDX_PACK_MAX_SPHERES
         stream_fits = (
             # idx-plane capacity: 4 B per _IDX_PACK lane-iterations over ALL
             # samples (the winner-index record phase A keeps for phase B's
@@ -641,6 +669,20 @@ def render_pixel_block(scene, camera, config, key, pixel_ids, sample_offset, n_s
         return render_block_grad_regen_stream(
             scene, camera, config, key, pixel_ids, sample_offset,
             n_samples, chunk, n_banks=config.grad_regen_banks or None,
+        )
+    if idx_packable:
+        # Beyond streamed-idx capacity: the DETERMINISTIC checkpointed
+        # stream (round 5) — idx planes re-recorded per chunk in the
+        # backward by the same Mosaic binary as the value pass, so replay
+        # winners cannot flip (the old jax.checkpoint remat's re-forward
+        # was a different XLA program and could — CLAUDE.md round 4).
+        # ~6% slower than remat at bench scale; only >capacity fits pay.
+        from .ops.pallas_grad_regen import render_block_grad_regen_stream
+
+        return render_block_grad_regen_stream(
+            scene, camera, config, key, pixel_ids, sample_offset,
+            n_samples, chunk, n_banks=config.grad_regen_banks or None,
+            checkpoint_idx=True,
         )
 
     def step(acc, i):

@@ -186,6 +186,15 @@ class RenderConfig:
     # back to chunked remat (the measured-faster beyond-capacity schedule).
     grad_regen_stream: bool = True
     pallas_interpret: bool = False  # run the kernels interpreted (CPU tests)
+    # Differentiate camera parameters (round 5): route gradient renders
+    # through XLA-side ray generation (camera.generate_rays, fully
+    # differentiable) into the fused trace — whose custom VJP already
+    # returns per-ray (origin, direction) cotangents — instead of the
+    # in-kernel raygen / regen kernels (which consume pixel ids directly
+    # and detach the camera).  Slower per step (the in-kernel raygen saved
+    # ~35 ms/dispatch) but the only path with camera gradients; used by
+    # inverse.fit_camera.
+    camera_grad: bool = False
     # Soft-silhouette blend width for the first bounce (0 = hard edges).
     # Used by inverse rendering to recover geometry gradients at visibility
     # boundaries, which the detached hit selection otherwise drops.

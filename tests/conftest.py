@@ -27,3 +27,26 @@ if not os.environ.get("SPT_TPU_TESTS"):
     jax.config.update("jax_platforms", "cpu")
     assert jax.devices()[0].platform == "cpu", jax.devices()
     assert len(jax.devices()) == 8, jax.devices()
+
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Single-process full-suite stability (round-5 VERDICT item 3).
+
+    A full `pytest tests` run in ONE process used to segfault inside
+    XLA:CPU's backend_compile_and_load around test ~100 of the suite
+    (cumulative compiler/executable state — every shard passes in
+    isolation).  Dropping compiled executables and live jaxprs between
+    test MODULES keeps the compiler's working set bounded; per-module (not
+    per-test) so intra-module jit caching still amortizes tracing.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
+    gc.collect()

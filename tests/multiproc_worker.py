@@ -63,6 +63,51 @@ def main():
     mesh = make_mesh(tiles=4, samples=2)  # tile shards span both hosts
     snap_prefix = os.path.join(outdir, "shard_snap")
 
+    if mode in ("fit", "fit_crash", "fit_resume"):
+        # Distributed-training dress rehearsal: a multi-host Adam fit with
+        # sharded loss/grad every step, train-state checkpointing by
+        # process 0, and (crash/resume) a mid-fit host failure.  The
+        # optimizer state is replicated, step keys are fold_in(key, i)
+        # independent of history, and snapshots restore (params, Adam
+        # state, step) exactly — so crash+resume must be BIT-identical to
+        # the uninterrupted 2-process fit (the parent asserts it).
+        import jax.numpy as jnp
+
+        from simplepathtracer_tpu import inverse
+        from simplepathtracer_tpu.render import render_sample_batch
+
+        fcfg = spt.RenderConfig(width=24, height=12, spp=4, max_depth=3)
+        # Target: plain local render of the truth — identical on every
+        # process (all randomness keyed by global (pixel, sample) ids).
+        tkey = jax.random.fold_in(key, 999)
+        target = (
+            render_sample_batch(scene, cam, fcfg, tkey, 0, fcfg.spp)
+            / fcfg.spp
+        ).reshape(fcfg.height, fcfg.width, 3)
+        perturbed = scene.replace(
+            albedo=jnp.clip(scene.albedo + 0.2, 0.05, 0.95)
+        )
+        snap = os.path.join(outdir, "fit_snap.npz")
+        steps = 3 if mode == "fit_crash" else 6
+        fitted, losses = inverse.fit_sharded(
+            perturbed, target, cam, fcfg, key, mesh,
+            steps=steps, lr=5e-2, leaves=("albedo",),
+            snapshot_path=snap if mode != "fit" else None,
+            snapshot_every=3 if mode != "fit" else 0,
+        )
+        if mode == "fit_crash":
+            # Snapshot landed at step 3; die as if step 4 never ran.
+            assert os.path.exists(snap), "process-0 snapshot missing"
+            print(f"proc {proc_id}: fit crashed after 3 steps", flush=True)
+            os._exit(17)
+        np.savez(
+            os.path.join(outdir, f"fit{proc_id}.npz"),
+            albedo=np.asarray(fitted.albedo),
+            losses=np.asarray(losses, np.float64),
+        )
+        print(f"proc {proc_id}: {mode} done ({len(losses)} losses)", flush=True)
+        return
+
     if mode == "crash":
         from simplepathtracer_tpu import checkpoint
 

@@ -383,6 +383,42 @@ def test_stream_idx_above_8bit():
         np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-7, err_msg=k)
 
 
+def test_beyond_capacity_fallback_deterministic(monkeypatch):
+    """Round-5 VERDICT item 4: past streamed-idx capacity the fallback is
+    the DETERMINISTIC checkpointed stream (idx planes re-recorded per
+    chunk in the backward by the same Mosaic binary as the value pass),
+    not jax.checkpoint remat (whose replayed forward was a different XLA
+    program that could flip knife-edge winners at this ~484-sphere scene,
+    moving gradient mass between near-twin spheres).  The fallback must
+    match the in-capacity streamed path BIT-FOR-BIT: same forward kernels,
+    same per-chunk backward accumulation schedule, only the idx-plane
+    lifetime differs."""
+    import importlib
+
+    render_mod = importlib.import_module("simplepathtracer_tpu.render")
+    from simplepathtracer_tpu.scenes import compact_scene
+
+    scene = compact_scene(spt.cover_scene(jax.random.PRNGKey(0), max_spheres=512))
+    cam = spt.make_camera(
+        origin=(13.0, 2.0, 3.0), lookat=(0.0, 0.0, 0.0), vfov_deg=20.0,
+        aperture=0.1, focus_dist=10.0,
+    )
+    cfg = spt.RenderConfig(width=16, height=8, spp=4, max_depth=3,
+                           spp_chunk=2)
+    key = jax.random.PRNGKey(5)
+    target = jnp.full((cfg.height, cfg.width, 3), 0.25, jnp.float32)
+    l_s, g_s = _grads(scene, cam, _regen(cfg), key, target)
+    # Shrink the idx-plane budget so the same config no longer "fits".
+    monkeypatch.setattr(render_mod, "_IDX_PLANE_BUDGET", 1)
+    assert render_mod.stream_capacity_spp(cfg, scene) < cfg.spp
+    l_f, g_f = _grads(scene, cam, _regen(cfg), key, target)
+    assert float(l_s) == float(l_f), (float(l_s), float(l_f))
+    for k in g_s:
+        np.testing.assert_array_equal(
+            np.asarray(g_s[k]), np.asarray(g_f[k]), err_msg=k
+        )
+
+
 def test_regen_silhouette_gradients_match_jnp():
     """Round-4: the soft-silhouette blend lives inside bounce_tile, so the
     regen kernels serve geometry fits directly (no per-bounce-path detour,
