@@ -189,8 +189,23 @@ def silhouette_logit_tile(u):
     )
 
 
+def soft_scan_tables(tables, softness: float):
+    """[2 * S_pad] f32 SMEM block for the soft scan: per-sphere silhouette
+    band scale (intersect.silhouette_scale — XLA-computed, so the
+    acceptance threshold is numerically identical to the jnp path's) then
+    1 / r^2 (the blocker-score normalizer; a divide per sphere per
+    iteration otherwise).  Padding slots carry NaN radius -> NaN entries
+    -> every comparison self-rejects."""
+    from .intersect import silhouette_scale
+
+    rad = tables[3]
+    return jnp.concatenate(
+        [silhouette_scale(softness, rad), 1.0 / (rad * rad)]
+    ).astype(jnp.float32)
+
+
 def closest_hit_scan_soft(
-    table_refs, ox, oy, oz, dx, dy, dz, u_coin,
+    table_refs, ox, oy, oz, dx, dy, dz, u_coin, sil_ref,
     *, n_spheres: int, t_min: float, t_max: float, softness: float,
 ):
     """Stochastic-transparency closest hit: the soft-silhouette scan
@@ -209,15 +224,10 @@ def closest_hit_scan_soft(
     Returns (winner 12-tuple like closest_hit_scan) + (bidx, bcx, bcy,
     bcz, brr) blocker tiles (bidx == -1: none).
     """
-    from .intersect import _SIL_R0
-
     cx_ref, cy_ref, cz_ref, rad_ref, r2_ref, ar_ref, ag_ref, ab_ref, m_ref, f_ref, i_ref = table_refs
     shape = (SUB, LANE)
     f32 = jnp.float32
     lgt = silhouette_logit_tile(u_coin)
-    # Band-scale constants (intersect.silhouette_scale, same op order).
-    c_scale = np.float32(softness * _SIL_R0)
-    r0c = np.float32(_SIL_R0)
     init = (
         jnp.full(shape, t_max, f32), jnp.full(shape, -1, jnp.int32),
         jnp.zeros(shape, f32), jnp.zeros(shape, f32), jnp.zeros(shape, f32),
@@ -246,10 +256,9 @@ def closest_hit_scan_soft(
         t_near = tc - sq
         t = jnp.where(t_near > t_min, t_near, tc + sq)
         in_front = (t > t_min) & (t < bt)   # exclusive running best
-        scale = sr2 * c_scale / (r0c + jnp.abs(sr))
-        accept = disc > lgt * scale
+        accept = disc > lgt * sil_ref[s]
         # Blocker first (uses the PRE-update running best t).
-        score = disc / sr2
+        score = disc * sil_ref[n_spheres + s]
         qok = (~accept) & in_front & (score > qs)
         qi = jnp.where(qok, s, qi)
         qx = jnp.where(qok, scx, qx)

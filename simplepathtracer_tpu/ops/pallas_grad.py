@@ -60,6 +60,7 @@ from .pallas_common import (
     closest_hit_scan_soft,
     pad_scene_tables,
     scatter_tiles,
+    soft_scan_tables,
     threefry2x32,
     to_unit_float,
     vma_union,
@@ -268,7 +269,7 @@ def _grad_fwd_kernel(
     # SMEM scene tables + sky + meta
     cx_ref, cy_ref, cz_ref, rad_ref, r2_ref,
     albr_ref, albg_ref, albb_ref, mat_ref, fuzz_ref, ior_ref,
-    sky_ref, meta_ref,
+    sky_ref, meta_ref, sil_ref,
     # VMEM ray state
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     tr_ref, tg_ref, tb_ref, rr_ref, rg_ref, rb_ref,
@@ -300,7 +301,7 @@ def _grad_fwd_kernel(
         sil = blk = None
         if soft:
             winner, (qi, qx, qy, qz, qr) = closest_hit_scan_soft(
-                tables, ox, oy, oz, dx, dy, dz, u[7],
+                tables, ox, oy, oz, dx, dy, dz, u[7], sil_ref,
                 n_spheres=n_spheres, t_min=t_min, t_max=t_max,
                 softness=softness,
             )
@@ -685,6 +686,12 @@ def _fused_fwd_impl(
     )
 
     soft = softness > 0.0
+    # Soft-scan SMEM aux (band scale + 1/r^2 per sphere); tiny dummy when
+    # hard so the kernel arity is static.
+    sil2 = (
+        soft_scan_tables(tables, softness) if soft
+        else jnp.zeros((2,), jnp.float32)
+    )
     n_out = 29 if soft else 24
     out_shapes = (f32out,) * 13 + (i32out,) + (f32out,) * 9 + (i32out,)
     if soft:
@@ -695,7 +702,7 @@ def _fused_fwd_impl(
         outs = pl.pallas_call(
             kernel,
             grid=(rows // _SUB,),
-            in_specs=[smem] * 13 + [blk] * 15,
+            in_specs=[smem] * 14 + [blk] * 15,
             out_specs=tuple([blk] * n_out),
             out_shape=out_shapes,
             cost_estimate=pl.CostEstimate(
@@ -704,7 +711,7 @@ def _fused_fwd_impl(
                 transcendentals=8 * rows * _LANE,
             ),
             interpret=interpret,
-        )(*tables, sky6, meta3, *st, pix_u, samp_u)
+        )(*tables, sky6, meta3, sil2, *st, pix_u, samp_u)
         nxt = tuple(outs[:13])
         resid = (st[0], st[1], st[2], st[3], st[4], st[5],
                  st[6], st[7], st[8], st[12],

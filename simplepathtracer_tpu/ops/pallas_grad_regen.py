@@ -63,6 +63,7 @@ from .pallas_common import (
     closest_hit_scan_soft,
     pad_scene_tables,
     plane_override,
+    soft_scan_tables,
     threefry2x32,
     to_unit_float,
     vma_union,
@@ -132,7 +133,7 @@ def _regen_fwd_kernel(
     # SMEM
     cx_ref, cy_ref, cz_ref, rad_ref, r2_ref,
     albr_ref, albg_ref, albb_ref, mat_ref, fuzz_ref, ior_ref,
-    sky_ref, cam_ref, meta_ref, plane_ref,
+    sky_ref, cam_ref, meta_ref, plane_ref, sil_ref,
     # VMEM inputs
     pix_ref, xf_ref, yf_ref,      # (n_banks, 8, 128)
     soff_ref,                     # (8, 128) u32
@@ -273,7 +274,7 @@ def _regen_fwd_kernel(
             blk = None
             if soft:
                 winner, (qi, qx, qy, qz, qr) = closest_hit_scan_soft(
-                    tables, ox, oy, oz, dx, dy, dz, u[7],
+                    tables, ox, oy, oz, dx, dy, dz, u[7], sil_ref,
                     n_spheres=n_spheres, t_min=t_min, t_max=t_max,
                     softness=softness,
                 )
@@ -598,6 +599,11 @@ def _regen_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, plane7,
     n_chunks = -(-budget // _CHUNK)
     b_total = n_chunks * _CHUNK
     soft = softness > 0.0
+    # Soft-scan SMEM aux (band scale + 1/r^2); tiny dummy when hard.
+    sil2 = (
+        soft_scan_tables(tables, softness) if soft
+        else jnp.zeros((2,), jnp.float32)
+    )
     n_res = (2 if soft else 1) if emit_idx_only else _n_res(softness)
 
     kernel = functools.partial(
@@ -658,7 +664,7 @@ def _regen_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, plane7,
     outs = pl.pallas_call(
         kernel,
         grid=(n_blocks, n_chunks),
-        in_specs=[smem] * 15 + [bank_in] * 3 + [tile_in],
+        in_specs=[smem] * 16 + [bank_in] * 3 + [tile_in],
         out_specs=tuple([bank_out] * 3 + [lane_out] + res_specs),
         out_shape=tuple([bank_sds] * 3 + [lane_sds] + res_dtypes),
         scratch_shapes=scratch,
@@ -669,7 +675,7 @@ def _regen_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, plane7,
         ),
         interpret=interpret,
     )(
-        *tables, sky6, cam19, meta2, plane7,
+        *tables, sky6, cam19, meta2, plane7, sil2,
         pix.astype(jnp.uint32), xf, yf, soff_tile,
     )
     out4 = tuple(outs[:4])      # radiance banks + per-lane iteration counts
