@@ -166,6 +166,42 @@ SIL_FRESNEL = False
 SIL_P_FLOOR = 1e-2
 
 
+def crossing_scale(softness, r):
+    """t-space band scale sigma_x(r) for the stochastic WINNER-SELECT coin
+    (opaque-opaque intersection edges, round 5).
+
+    The acceptance coin smooths hit-vs-miss edges, but where two solid
+    surfaces CROSS (a sphere poking through the ground plane) both
+    opacities saturate and the discontinuity lives in the t-argmin.  The
+    crossing coin accepts the sphere iff t_s < t_p + logit(u) * sigma_x,
+    i.e. P(sphere wins) = sigmoid((t_p - t_s) / sigma_x); the realized
+    outcome's probability folds into the detached REINFORCE ratio next to
+    (We - M).  sigma_x = soft * |r| * R0 / (R0 + |r|): linear in the
+    sphere radius for object-sized spheres (the transition band moves
+    O(soft * r) along the ray — commensurate with the silhouette band),
+    saturating at soft * R0 for giants (same rationale as
+    silhouette_scale's cap).  Smooth in r; |r| handles hollow-glass
+    negative radii."""
+    a = jnp.abs(r)
+    return softness * a * jnp.float32(_SIL_R0) / (jnp.float32(_SIL_R0) + a)
+
+
+# Validity band fraction: sigma_v = _SIG_V_FRAC * sigma_x.  The t > t_min
+# candidate-validity test is the remaining unsmoothed t-threshold compare
+# (measured: far-root exits of phantom-continuation chains sliding past
+# t_min carried ~35% of a crossing-heavy scene's true gradient —
+# experiments/r5_crossing_fd.py); the validity coin softens it with the
+# same machinery as the winner crossing.  0.25 keeps the band narrow
+# (value distortion only within ~0.1 world units of the origin) while the
+# replica measured AD/FD 0.98 at both 0.25 and 1.0.
+_SIG_V_FRAC = 0.25
+
+
+def validity_scale(softness, r):
+    """t-space band scale for the candidate-validity coin (t > t_min)."""
+    return _SIG_V_FRAC * crossing_scale(softness, r)
+
+
 def grad_capped_sqrt(dmax, scale):
     """sqrt(dmax) in VALUE with its derivative capped at 1/(2 sqrt(scale)).
 

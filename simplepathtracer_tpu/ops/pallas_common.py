@@ -336,7 +336,8 @@ def banked_lane_layout(pixel_ids, width, n_banks):
 
 
 def plane_override(plane_ref, winner, ox, oy, oz, dx, dy, dz, *, t_min: float,
-                   hit_code: int = 1 << 20, encode_params: bool = False):
+                   hit_code: int = 1 << 20, encode_params: bool = False,
+                   thr_x=None, t_max: float = 3.0e7):
     """Merge an optional Lambertian ground plane into the scan winner.
 
     ``plane_ref``: f32[7] SMEM (unit normal xyz, offset k, albedo rgb) —
@@ -355,6 +356,13 @@ def plane_override(plane_ref, winner, ox, oy, oz, dx, dy, dz, *, t_min: float,
     VPU work per iteration and is only EMITTED when the scene has a plane
     (static use_plane flags in the kernel wrappers).
 
+    ``thr_x``: None (hard nearest-wins select), or the crossing-coin
+    threshold tile ``logit(ux) * sigma_x(r_winner)`` (round 5): the sphere
+    winner beats the plane iff ``t_sphere < t_plane + thr_x`` — the
+    stochastic WINNER SELECT whose probability the bounce's detached ratio
+    differentiates (opaque-opaque intersection edges; formula shared with
+    render.py's jnp branch, knife-edge coins must agree bit-for-bit).
+
     Reference counterpart: the dead RayPlaneIntersection/
     CalculateRayPlaneContactPoint (include/Collision.hpp:73-85), live here.
     """
@@ -364,7 +372,17 @@ def plane_override(plane_ref, winner, ox, oy, oz, dx, dy, dz, *, t_min: float,
     num = -(ox * pnx + oy * pny + oz * pnz + pk)
     live = jnp.abs(denom) > 1e-8
     tp = num / jnp.where(live, denom, 1.0)
-    wins = live & (tp > t_min) & (tp < bt)
+    if thr_x is None:
+        wins = live & (tp > t_min) & (tp < bt)
+    else:
+        # Stochastic plane-vs-sphere select: plane wins unless a sphere
+        # winner exists AND beats it through the coin.  Op order and the
+        # validity gates match render.py / ops/plane.ray_plane_intersection
+        # (``hit.t < ph.t + thr_x``; knife-edge coins must agree).
+        wins = (
+            live & (tp > t_min) & (tp < t_max)
+            & ~((bi >= 0) & (bt < tp + thr_x))
+        )
     # Face-forward side: the normal opposing the incoming ray.
     sgn = jnp.where(denom > 0.0, -1.0, 1.0)
     px = ox + tp * dx
@@ -393,7 +411,12 @@ def plane_override(plane_ref, winner, ox, oy, oz, dx, dy, dz, *, t_min: float,
     bm = jnp.where(wins, int(Material.LAMBERTIAN), bm)
     bf = jnp.where(wins, 0.0, bf)
     bio = jnp.where(wins, 1.0, bio)
-    return (bt, bi, bcx, bcy, bcz, br, bar, bag, bab, bm, bf, bio)
+    merged = (bt, bi, bcx, bcy, bcz, br, bar, bag, bab, bm, bf, bio)
+    if thr_x is not None:
+        # Stochastic mode: the caller also needs the realized select and
+        # the plane t (to stash the crossing LOSER in the blocker slot).
+        return merged, wins, tp
+    return merged
 
 
 def camera_ray_tiles(cam_ref, xf, yf, jx, jy, lu, lv, *, width: int, height: int):

@@ -95,7 +95,7 @@ def _uniforms7(k0, k1, pix, samp, bounce):
 def bounce_tile(
     o3, d3, tp3, a9, mat, hit, alive, u, sky6, do_rr,
     *, t_min: float, t_max: float, rr_on: bool, silhouette=None,
-    plane_mask=None, blocker=None,
+    plane_mask=None, blocker=None, plane4=None,
 ):
     """One differentiable bounce on (8,128) tiles.
 
@@ -215,8 +215,57 @@ def bounce_tile(
         sqb = jnp.sqrt(jnp.maximum(discb, _DISC_EPS))
         tnb = tcb - sqb
         t_b = jnp.where(tnb > t_min, tnb, tcb + sqb)
-        m = jnp.where(bval & alive & (t_b < t), mb, 0.0)
+        blocker_on = bval & alive
+        if plane4 is not None:
+            # Stochastic plane-vs-sphere WINNER SELECT (round 5, opaque-
+            # opaque intersection edges).  The blocker slot is dual-role on
+            # plane scenes: an acceptance-coin-REJECTED front sphere (the
+            # usual M term) or the ACCEPTED sphere that lost the crossing
+            # coin (stashed by the forward's plane_override).  The roles
+            # are distinguished by replaying the blocker's acceptance coin
+            # from u[7] — bit-identical to the scan's test.
+            from .pallas_common import silhouette_logit_tile
+
+            acc_b = discb > silhouette_logit_tile(u[7]) * silhouette_scale(
+                soft, brr
+            )
+            front_blk = blocker_on & ~acc_b
+        else:
+            front_blk = blocker_on
+        m = jnp.where(front_blk & (t_b < t), mb, 0.0)
         den = jnp.maximum(we - m, np.float32(SIL_P_FLOOR))
+        if plane4 is not None:
+            from .intersect import crossing_scale, grad_capped_sqrt
+
+            pnx, pny, pnz, pk = plane4
+            den4 = dx * pnx + dy * pny + dz * pnz
+            t_pl4 = (-(ox * pnx + oy * pny + oz * pnz) - pk) / jnp.where(
+                jnp.abs(den4) > 1e-8, den4, 1.0
+            )
+            pl_ok = (jnp.abs(den4) > 1e-8) & (t_pl4 > t_min) & (t_pl4 < t_max)
+            # Sphere-win lanes: q = P(sphere beats plane), from the winner's
+            # own capped-sqrt t (== ``t`` above under silhouette) and the
+            # differentiable plane t (the offset cotangent rides it).
+            sigx_w = crossing_scale(soft, r)
+            q_s = 1.0 / (1.0 + jnp.exp(-jnp.clip(
+                (t_pl4 - t) / (sigx_w + 1e-12), -30.0, 30.0)))
+            qf = jnp.where(alive & hit & ~plane_mask & pl_ok, q_s, 1.0)
+            # Plane-win lanes with a crossing-LOSER blocker: factor
+            # P(plane wins vs that sphere) from its capped-sqrt would-be t.
+            sqbx = grad_capped_sqrt(
+                jnp.maximum(discb, _DISC_EPS), silhouette_scale(soft, brr)
+            )
+            tnbx = tcb - sqbx
+            t_bx = jnp.where(tnbx > t_min, tnbx, tcb + sqbx)
+            sigx_b = crossing_scale(soft, brr)
+            q_p = 1.0 / (1.0 + jnp.exp(-jnp.clip(
+                (t_bx - t) / (sigx_b + 1e-12), -30.0, 30.0)))
+            cross_loser = blocker_on & acc_b & plane_mask
+            qf = jnp.where(cross_loser, q_p, qf)
+            # Floor only (we - m): a logistic's score is bounded, and
+            # flooring qf breaks the two-sided pair cancellation
+            # (experiments/r5_crossing_fd.py).
+            den = den * qf
         srat = den / jax.lax.stop_gradient(den)
         tr = tr * srat
         tg = tg * srat

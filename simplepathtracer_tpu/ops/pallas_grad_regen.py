@@ -63,6 +63,7 @@ from .pallas_common import (
     closest_hit_scan_soft,
     pad_scene_tables,
     plane_override,
+    silhouette_logit_tile,
     soft_scan_tables,
     threefry2x32,
     to_unit_float,
@@ -290,10 +291,49 @@ def _regen_fwd_kernel(
                 # skips the sphere bucket).  encode_params: (cx..cz, r)
                 # carry (unit normal, offset) so bounce_tile computes the
                 # true plane t (see plane_override docstring).
-                winner = plane_override(
-                    plane_ref, winner, ox, oy, oz, dx, dy, dz,
-                    t_min=t_min, hit_code=PLANE_IDX, encode_params=True,
-                )
+                if soft:
+                    # Stochastic plane-vs-sphere winner select (round 5,
+                    # opaque-opaque intersection edges): coin at slot
+                    # 128 + b (ops/sampling.crossing_noise), band scale
+                    # sigma_x from the scan winner's radius.  Where the
+                    # plane wins the coin against an in-band accepted
+                    # sphere, that sphere becomes the lane's blocker (the
+                    # crossing LOSER) so the backward's detached ratio can
+                    # differentiate P(plane wins) from its attributes —
+                    # bounce_tile tells the two blocker roles apart by
+                    # replaying the acceptance coin.
+                    from .intersect import crossing_scale
+
+                    wx0, _ = threefry2x32(
+                        k0, k1, pix, c1b | (jnp.uint32(128) + b)
+                    )
+                    ux = to_unit_float(wx0)
+                    pre_t, pre_i = winner[0], winner[1]
+                    pre_cx, pre_cy, pre_cz, pre_r = (
+                        winner[2], winner[3], winner[4], winner[5]
+                    )
+                    sigx = crossing_scale(softness, pre_r)
+                    thr_x = silhouette_logit_tile(ux) * sigx
+                    winner, wins, tp_t = plane_override(
+                        plane_ref, winner, ox, oy, oz, dx, dy, dz,
+                        t_min=t_min, hit_code=PLANE_IDX, encode_params=True,
+                        thr_x=thr_x, t_max=t_max,
+                    )
+                    steal = (
+                        wins & (pre_i >= 0)
+                        & (pre_t - tp_t < 30.0 * sigx)
+                    )
+                    qi = jnp.where(steal, pre_i, qi)
+                    qx = jnp.where(steal, pre_cx, qx)
+                    qy = jnp.where(steal, pre_cy, qy)
+                    qz = jnp.where(steal, pre_cz, qz)
+                    qr = jnp.where(steal, pre_r, qr)
+                    blk = (qi >= 0, qx, qy, qz, qr)
+                else:
+                    winner = plane_override(
+                        plane_ref, winner, ox, oy, oz, dx, dy, dz,
+                        t_min=t_min, hit_code=PLANE_IDX, encode_params=True,
+                    )
             (t_scan, bi, wcx, wcy, wcz, wr, war, wag, wab, wmat, wfz, wio) = winner
             del t_scan
             hit = bi >= 0
@@ -506,16 +546,44 @@ def _regen_bwd_kernel(
                 bval = bq_idx[kl] >= 0
                 blk4 = (bq_cx[kl], bq_cy[kl], bq_cz[kl], bq_r[kl])
 
-                def f(o3, d3, tp3, a9, sky6, blk4):
-                    return bounce_tile(
-                        o3, d3, tp3, a9, mat, hit, alive, u, sky6, do_rr,
-                        t_min=t_min, t_max=t_max, rr_on=bool(rr_start_depth),
-                        silhouette=sil, plane_mask=pm,
-                        blocker=(bval, *blk4),
-                    )[:4]
+                if use_plane:
+                    # Crossing factor (round 5): the plane's offset enters
+                    # the stochastic winner-select probability on EVERY
+                    # sphere-win lane (not just plane winners), so it is a
+                    # differentiable vjp input of its own; the unit normal
+                    # stays detached (closed-over broadcast tiles).
+                    pn4 = tuple(
+                        jnp.full(shape, plane_ref[i2]) for i2 in range(3)
+                    )
+                    pk_t = jnp.full(shape, plane_ref[3])
 
-                _, pull = jax.vjp(f, o3, d3, tp3, a9, skyt, blk4)
-                ct_o, ct_d, ct_tp, ct_a9, ct_sky, ct_blk = pull(cts)
+                    def f(o3, d3, tp3, a9, sky6, blk4, pk_tile):
+                        return bounce_tile(
+                            o3, d3, tp3, a9, mat, hit, alive, u, sky6,
+                            do_rr, t_min=t_min, t_max=t_max,
+                            rr_on=bool(rr_start_depth),
+                            silhouette=sil, plane_mask=pm,
+                            blocker=(bval, *blk4),
+                            plane4=(*pn4, pk_tile),
+                        )[:4]
+
+                    _, pull = jax.vjp(f, o3, d3, tp3, a9, skyt, blk4, pk_t)
+                    (ct_o, ct_d, ct_tp, ct_a9, ct_sky, ct_blk,
+                     ct_pk) = pull(cts)
+                    p_off[:] = p_off[:] + ct_pk
+                else:
+
+                    def f(o3, d3, tp3, a9, sky6, blk4):
+                        return bounce_tile(
+                            o3, d3, tp3, a9, mat, hit, alive, u, sky6,
+                            do_rr, t_min=t_min, t_max=t_max,
+                            rr_on=bool(rr_start_depth),
+                            silhouette=sil, plane_mask=pm,
+                            blocker=(bval, *blk4),
+                        )[:4]
+
+                    _, pull = jax.vjp(f, o3, d3, tp3, a9, skyt, blk4)
+                    ct_o, ct_d, ct_tp, ct_a9, ct_sky, ct_blk = pull(cts)
                 for ref, ct in zip(blk_outs, ct_blk):
                     ref[kl] = jnp.where(bval, ct, 0.0)
             else:

@@ -20,6 +20,7 @@ vmapping ``jax.random.fold_in`` chains this is pure elementwise u32 VPU math
 Slot map (each slot = one threefry eval = 2 words):
     bounce b, eval e in 0..3  ->  slot b*4 + e   (depth <= 30)
     camera jitter             ->  slots 124, 125
+    winner-crossing coin      ->  slot 128 + b   (plane+soft configs only)
 
 Direction samplers replace include/Random.hpp:95-141 with the *intended*
 semantics (the reference's "inside sphere" sampler inverts its rejection test
@@ -130,6 +131,23 @@ def bounce_noise(ctx: RayCtx, bounce):
     slot0 = jnp.asarray(bounce, jnp.uint32) * jnp.uint32(4)
     cols = _uniform_words(ctx, slot0, 4)
     return jnp.stack(cols, axis=-1)
+
+
+def crossing_noise(ctx: RayCtx, bounce):
+    """Winner-crossing coin for bounce ``bounce``: one uniform [N].
+
+    Drives the stochastic plane-vs-sphere winner select of the
+    opaque-opaque intersection-edge estimator (round 5): the nearest
+    accepted sphere beats the plane iff t_s < t_p + logit(u) * sigma_x.
+    Lives in its own slot region (128 + b; the 8-bit slot space is only
+    used to 125 by the bounce/camera map) so the established stream is
+    untouched; only evaluated on plane scenes with softness > 0.  Word 1
+    of the eval is reserved (future sphere-sphere crossing coin).
+    """
+    slot = jnp.uint32(128) + jnp.asarray(bounce, jnp.uint32)
+    c1 = (ctx.sample << jnp.uint32(8)) | slot
+    w0, _ = threefry2x32(ctx.k0, ctx.k1, ctx.pixel, c1)
+    return _to_unit_float(w0)
 
 
 def camera_jitter(ctx: RayCtx):

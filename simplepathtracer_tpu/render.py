@@ -141,6 +141,11 @@ def stream_capacity_spp(config: RenderConfig, scene) -> int:
     return int(_IDX_PACK * _IDX_PLANE_BUDGET // per_spp)
 
 
+# Debug-only trace-time switches for decomposing the soft-silhouette
+# gradient (experiments use these; always empty in production).
+_SIL_DBG: frozenset = frozenset()
+
+
 def grad_safe_config(config: RenderConfig) -> RenderConfig:
     """Downgrade a config for use under ``jax.grad``.
 
@@ -242,7 +247,7 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
 
     def bounce(carry, b):
         o, d, tp, rad, alive = carry
-        wc3 = wr = pw_mask = blk = None
+        wc3 = wr = pw_mask = blk = ph_t = cross_valid = None
         unif = bounce_noise(keys, b)
         if config.use_pallas_hits:
             # Gradient fast path: the closest-hit kernel returns the winner
@@ -327,7 +332,29 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
                 o, d, jax.lax.stop_gradient(scene.plane[:3]), scene.plane[3],
                 config.t_min, config.t_max,
             )
-            pw = ph.hit & (ph.t < hit.t)
+            if config.silhouette_softness > 0.0:
+                # Stochastic WINNER SELECT at the plane-vs-sphere t-crossing
+                # (round 5): where both candidates are solid the acceptance
+                # coin can't see the edge (opacities saturate), so the
+                # nearest-wins compare itself gets a coin — the sphere beats
+                # the plane iff t_s < t_p + logit(ux) * sigma_x(r), i.e.
+                # P(sphere wins) = sigmoid((t_p - t_s) / sigma_x).  The
+                # realized outcome's probability joins the detached ratio
+                # below, carrying the intersection-circle edge gradient
+                # dq * (L_sphere - L_plane) no smoothing estimator reaches.
+                from .ops.intersect import crossing_scale, silhouette_logit
+                from .ops.sampling import crossing_noise
+
+                sg = jax.lax.stop_gradient
+                ux = crossing_noise(keys, b)
+                thr_x = silhouette_logit(ux) * crossing_scale(
+                    config.silhouette_softness, sg(scene.radii[hit.index])
+                )
+                pw = ph.hit & ~(hit.hit & (hit.t < ph.t + thr_x))
+                ph_t = ph.t
+                cross_valid = ph.hit & hit.hit
+            else:
+                pw = ph.hit & (ph.t < hit.t)
             from .ops.intersect import Hit
 
             hit = Hit(
@@ -403,7 +430,62 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
             # impossible outcomes (variance control; grad is 0 below it).
             from .ops.intersect import SIL_P_FLOOR
 
-            den = jnp.maximum(we - m, SIL_P_FLOOR)
+            if "sg_wm" in _SIL_DBG:
+                we, m = jax.lax.stop_gradient((we, m))
+            p_out = we - m
+            if ph_t is not None:
+                # Crossing factor (see the stochastic winner select above):
+                # q = P(sphere wins) from the DIFFERENTIABLE t's — t_w via
+                # the same value-exact capped sqrt as the bounce, t_p via
+                # ray_plane_intersection (the plane offset's cotangent rides
+                # it).  Saturates to exactly 1 outside the band (f32
+                # sigmoid(+-30)); phantom-winner double-edges keep only the
+                # crossing term (their We is handled on sphere-win lanes
+                # only — documented single-competitor approximation).
+                from .ops.intersect import crossing_scale, grad_capped_sqrt
+
+                sqw = grad_capped_sqrt(
+                    jnp.maximum(discw, 1e-12), silhouette_scale(soft, wr)
+                )
+                tnw = tcw - sqw
+                t_w = jnp.where(tnw > config.t_min, tnw, tcw + sqw)
+                sigx = crossing_scale(soft, wr)
+                qx = jax.nn.sigmoid(
+                    jnp.clip((ph_t - t_w) / (sigx + 1e-12), -30.0, 30.0)
+                )
+                # Kernel-matching single-slot semantics: where the plane
+                # stochastically beat an IN-BAND accepted sphere, the
+                # kernels stash that crossing loser in the (single) blocker
+                # slot, dropping any front blocker — do the same here so
+                # jnp/kernel gradients agree lane-for-lane.
+                steal = (
+                    pw_mask & cross_valid
+                    & (jax.lax.stop_gradient(t_w - ph_t)
+                       < 30.0 * jax.lax.stop_gradient(sigx))
+                )
+                p_out = we - jnp.where(steal, 0.0, m)
+                qx_s = qx
+                qx_p = qx
+                if "sg_qf_sphere" in _SIL_DBG:
+                    qx_s = jax.lax.stop_gradient(qx)
+                if "sg_qf_plane" in _SIL_DBG:
+                    qx_p = jax.lax.stop_gradient(qx)
+                qf = jnp.where(pw_mask, 1.0 - qx_p, qx_s)
+                qf = jnp.where(cross_valid & alive, qf, 1.0)
+                if "sg_qf" in _SIL_DBG:
+                    qf = jax.lax.stop_gradient(qf)
+            # Floor ONLY the acceptance probability (we - m): as a DIFFERENCE
+            # of sigmoids its score dp/p is heavy-tailed (blocker ~ winner),
+            # and the floor's one-sided clip there is a bounded bias.  The
+            # crossing factor qf must stay OUTSIDE the floor: a logistic's
+            # score is bounded (d log q = (1-q) darg, d log(1-q) = -q darg),
+            # and flooring it breaks the A/B pair cancellation — the realized
+            # -plane tail (1-q < floor) zeroes while the realized-sphere side
+            # keeps +dq L_A, leaving a net wrong-signed bias measured at ~35%
+            # of the crossing term (experiments/r5_crossing_fd.py).
+            den = jnp.maximum(p_out, SIL_P_FLOOR)
+            if ph_t is not None:
+                den = den * qf
             tp = tp * (den / jax.lax.stop_gradient(den))[:, None]
 
         # Miss shader: sky gradient, terminal (SingleThreadPathTracer.hpp:11-19).
