@@ -186,20 +186,28 @@ def crossing_scale(softness, r):
     return softness * a * jnp.float32(_SIL_R0) / (jnp.float32(_SIL_R0) + a)
 
 
-# Validity band fraction: sigma_v = _SIG_V_FRAC * sigma_x.  The t > t_min
-# candidate-validity test is the remaining unsmoothed t-threshold compare
-# (measured: far-root exits of phantom-continuation chains sliding past
-# t_min carried ~35% of a crossing-heavy scene's true gradient —
-# experiments/r5_crossing_fd.py); the validity coin softens it with the
-# same machinery as the winner crossing.  0.25 keeps the band narrow
-# (value distortion only within ~0.1 world units of the origin) while the
-# replica measured AD/FD 0.98 at both 0.25 and 1.0.
-_SIG_V_FRAC = 0.25
+# Validity band scale: sigma_v = softness * _SIG_V0, RADIUS-INDEPENDENT.
+# The t > t_min candidate-validity test is the remaining unsmoothed
+# t-threshold compare (measured: far-root exits of phantom-continuation
+# chains sliding past t_min carried ~35% of a crossing-heavy scene's true
+# gradient — experiments/r5_crossing_fd.py); the validity coin softens it
+# with the same machinery as the winner crossing.  Unlike the crossing
+# band, the t_min gate is a LOCAL phenomenon at the ray origin — a
+# radius-scaled band handed the r=100 ground sphere a +-3 t-unit
+# stochastic-validity zone covering every near hit in the scene (measured:
+# trio-scene geometry AD/FD flipped to -0.83).  softness * 0.1 reproduces
+# the band the crossing-heavy probes validated (sigma_v ~ 5e-3 at
+# soft 0.05).
+_SIG_V0 = 0.1
 
 
 def validity_scale(softness, r):
-    """t-space band scale for the candidate-validity coin (t > t_min)."""
-    return _SIG_V_FRAC * crossing_scale(softness, r)
+    """t-space band scale for the candidate-validity coin (t > t_min):
+    radius-independent (see _SIG_V0); ``r`` kept for signature symmetry
+    and per-sphere table builds."""
+    return jnp.broadcast_to(
+        jnp.float32(softness * _SIG_V0), jnp.shape(r)
+    ).astype(jnp.float32)
 
 
 def grad_capped_sqrt(dmax, scale):
@@ -244,7 +252,7 @@ def silhouette_logit(u):
 
 
 def intersect_scene_soft(
-    origins, dirs, u, scene, t_min, t_max, softness
+    origins, dirs, u, uv, scene, t_min, t_max, softness, prev_idx=None
 ) -> tuple[Hit, jax.Array]:
     """Stochastic-transparency closest hit: the two-sided soft-silhouette
     semantic (round 5).
@@ -292,8 +300,30 @@ def intersect_scene_soft(
     thr = silhouette_logit(u)[:, None] * scale[None, :]
     sq = grad_capped_sqrt(jnp.maximum(disc, _DISC_EPS), scale[None, :])
     t_near = tc - sq
-    t = jnp.where(t_near > t_min, t_near, tc + sq)
-    accept = (disc > thr) & (t > t_min) & (t < t_max)
+    t_raw = jnp.where(t_near > t_min, t_near, tc + sq)
+    # Validity coin (round 5): the t > t_min candidate gate is the last
+    # unsmoothed t-threshold compare — far-root exits of phantom
+    # continuations slide past it discontinuously.  Candidate s is valid
+    # iff t_raw > t_min + logit(uv) * sigma_v(r_s) (one shared coin per
+    # ray); the realized t clamps to t_min so a coin-validated marginal
+    # candidate hits AT the origin, never behind it.  ``prev_idx`` ([N]
+    # i32, -1 = none): the chain's previous sphere winner keeps the HARD
+    # gate — a ray leaving a sphere has its own far root at exactly 0,
+    # one band-sigma below ANY threshold centered at t_min, so the coin
+    # would re-validate ~half of all bounces as in-place self-hits
+    # (dielectric interior exits still pass the hard gate: their real exit
+    # t is far above t_min).
+    sigv = validity_scale(softness, radii)
+    thr_v = t_min + silhouette_logit(uv)[:, None] * sigv[None, :]
+    gate_lo = (t_min - 30.0 * sigv)[None, :]
+    if prev_idx is not None:
+        is_prev = prev_idx[:, None] == jnp.arange(
+            radii.shape[0], dtype=jnp.int32
+        )[None, :]
+        thr_v = jnp.where(is_prev, t_min, thr_v)
+        gate_lo = jnp.where(is_prev, t_min, gate_lo)
+    t = jnp.maximum(t_raw, t_min)
+    accept = (disc > thr) & (t_raw > thr_v) & (t_raw < t_max)
     t_sel = jnp.where(accept, t, t_max)
     index = jnp.argmin(t_sel, axis=-1).astype(jnp.int32)
     t_hit = jnp.take_along_axis(t_sel, index[:, None], axis=-1)[:, 0]
@@ -302,13 +332,15 @@ def intersect_scene_soft(
     # Blocker: kernel one-pass semantics — a rejected sphere qualifies if
     # its would-be hit t beats the best accepted t seen SO FAR (exclusive
     # running min in sphere-index order); max normalized disc wins, first
-    # on ties.
+    # on ties.  The validity band's lower edge (t_raw > t_min - 30 sigma_v)
+    # bounds candidacy: below it V == 0 exactly and a behind-the-origin
+    # solid (e.g. the SELF sphere after a bounce) must not hijack the slot.
     n = origins.shape[0]
     cmin = jax.lax.cummin(t_sel, axis=1)
     bt_before = jnp.concatenate(
         [jnp.full((n, 1), t_max, t_sel.dtype), cmin[:, :-1]], axis=-1
     )
-    rej_front = (~accept) & (t > t_min) & (t < bt_before)
+    rej_front = (~accept) & (t_raw > gate_lo) & (t < bt_before)
     score = jnp.where(rej_front, disc / r2[None, :], -jnp.inf)
     bidx = jnp.argmax(score, axis=-1).astype(jnp.int32)
     blocker_idx = jnp.where(jnp.any(rej_front, axis=-1), bidx, -1)

@@ -190,22 +190,27 @@ def silhouette_logit_tile(u):
 
 
 def soft_scan_tables(tables, softness: float):
-    """[2 * S_pad] f32 SMEM block for the soft scan: per-sphere silhouette
-    band scale (intersect.silhouette_scale — XLA-computed, so the
-    acceptance threshold is numerically identical to the jnp path's) then
-    1 / r^2 (the blocker-score normalizer; a divide per sphere per
-    iteration otherwise).  Padding slots carry NaN radius -> NaN entries
-    -> every comparison self-rejects."""
-    from .intersect import silhouette_scale
+    """[4 * S_pad] f32 SMEM block for the soft scan, XLA-computed so the
+    thresholds are numerically identical to the jnp path's:
+      row 0  silhouette band scale (intersect.silhouette_scale)
+      row 1  1 / r^2 (blocker-score normalizer)
+      row 2  validity band scale sigma_v (intersect.validity_scale)
+      row 3  t_min-side blocker-candidacy floor minus t_min
+             (-30 sigma_v; added to t_min in-kernel)
+    Padding slots carry NaN radius -> NaN entries -> every comparison
+    self-rejects."""
+    from .intersect import silhouette_scale, validity_scale
 
     rad = tables[3]
+    sigv = validity_scale(softness, rad)
     return jnp.concatenate(
-        [silhouette_scale(softness, rad), 1.0 / (rad * rad)]
+        [silhouette_scale(softness, rad), 1.0 / (rad * rad),
+         sigv, -30.0 * sigv]
     ).astype(jnp.float32)
 
 
 def closest_hit_scan_soft(
-    table_refs, ox, oy, oz, dx, dy, dz, u_coin, sil_ref,
+    table_refs, ox, oy, oz, dx, dy, dz, u_coin, uv_coin, prev, sil_ref,
     *, n_spheres: int, t_min: float, t_max: float, softness: float,
 ):
     """Stochastic-transparency closest hit: the soft-silhouette scan
@@ -213,13 +218,19 @@ def closest_hit_scan_soft(
     .intersect_scene_soft.
 
     Sphere s is accepted iff disc_s > logit(u) * softness * r_s^2 (i.e.
-    sigmoid(disc/(soft r^2)) > u with one shared coin per ray per bounce);
-    the winner is the nearest accepted sphere — possibly a grazing phantom
-    (disc < 0, t ~ t_center via the clamped sqrt).  Additionally tracks the
-    strongest REJECTED sphere whose would-be hit t beats the running best
-    (exclusive): the blocker, whose opacity M enters the bounce's detached
-    probability ratio.  Padding slots self-reject through NaN radius in
-    every branch (NaN compares false).
+    sigmoid(disc/(soft r^2)) > u with one shared coin per ray per bounce)
+    AND t_raw beats the VALIDITY coin t_min + logit(uv) * sigma_v(r_s)
+    (round 5 — the smoothed candidate gate; the realized t clamps to
+    t_min).  ``prev`` (i32 tile, -1 = none) is the chain's previous sphere
+    winner: it keeps the HARD t > t_min gate so its own exactly-zero far
+    root cannot be coin-revalidated as an in-place self-hit.  The winner is
+    the nearest accepted sphere — possibly a grazing phantom (disc < 0,
+    t ~ t_center via the clamped sqrt).  Additionally tracks the strongest
+    sphere REJECTED BY EITHER COIN whose would-be (clamped) hit t beats
+    the running best (exclusive) and whose t_raw is above the validity
+    floor t_min - 30 sigma_v: the blocker, whose probabilities enter the
+    bounce's detached ratio.  Padding slots self-reject through NaN radius
+    in every branch (NaN compares false).
 
     Returns (winner 12-tuple like closest_hit_scan) + (bidx, bcx, bcy,
     bcz, brr) blocker tiles (bidx == -1: none).
@@ -228,6 +239,7 @@ def closest_hit_scan_soft(
     shape = (SUB, LANE)
     f32 = jnp.float32
     lgt = silhouette_logit_tile(u_coin)
+    lgtv = silhouette_logit_tile(uv_coin)
     init = (
         jnp.full(shape, t_max, f32), jnp.full(shape, -1, jnp.int32),
         jnp.zeros(shape, f32), jnp.zeros(shape, f32), jnp.zeros(shape, f32),
@@ -254,12 +266,19 @@ def closest_hit_scan_soft(
         disc = sr2 - (oc2 - tc * tc)
         sq = jnp.sqrt(jnp.maximum(disc, np.float32(1e-12)))
         t_near = tc - sq
-        t = jnp.where(t_near > t_min, t_near, tc + sq)
-        in_front = (t > t_min) & (t < bt)   # exclusive running best
-        accept = disc > lgt * sil_ref[s]
+        t_raw = jnp.where(t_near > t_min, t_near, tc + sq)
+        t = jnp.maximum(t_raw, t_min)       # realized-t clamp (validity coin)
+        is_prev = prev == s
+        thr_v = jnp.where(is_prev, 0.0, lgtv * sil_ref[2 * n_spheres + s])
+        gate_lo = jnp.where(is_prev, 0.0, sil_ref[3 * n_spheres + s])
+        valc = (t_raw > t_min + thr_v) & (t_raw < t_max)
+        in_front = t < bt                   # exclusive running best
+        accept = (disc > lgt * sil_ref[s]) & valc
         # Blocker first (uses the PRE-update running best t).
         score = disc * sil_ref[n_spheres + s]
-        qok = (~accept) & in_front & (score > qs)
+        qok = (
+            (~accept) & (t_raw > t_min + gate_lo) & in_front & (score > qs)
+        )
         qi = jnp.where(qok, s, qi)
         qx = jnp.where(qok, scx, qx)
         qy = jnp.where(qok, scy, qy)

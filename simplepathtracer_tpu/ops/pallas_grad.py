@@ -95,7 +95,7 @@ def _uniforms7(k0, k1, pix, samp, bounce):
 def bounce_tile(
     o3, d3, tp3, a9, mat, hit, alive, u, sky6, do_rr,
     *, t_min: float, t_max: float, rr_on: bool, silhouette=None,
-    plane_mask=None, blocker=None, plane4=None,
+    plane_mask=None, blocker=None, plane4=None, uv=None,
 ):
     """One differentiable bounce on (8,128) tiles.
 
@@ -162,7 +162,13 @@ def bounce_tile(
     else:
         sq = jnp.sqrt(jnp.maximum(disc, _DISC_EPS))
     t_near = tc - sq
-    t = jnp.where(t_near > t_min, t_near, tc + sq)
+    t_raw_w = jnp.where(t_near > t_min, t_near, tc + sq)
+    t = t_raw_w
+    if silhouette is not None:
+        # Realized-t clamp of the validity coin (round 5): a coin-validated
+        # marginal candidate hits AT the origin, never behind it — matches
+        # the scan (intersect_scene_soft / closest_hit_scan_soft).
+        t = jnp.maximum(t, t_min)
     t = jnp.where(hit, t, t_max)
     if plane_mask is not None:
         # True plane intersection for plane-winner lanes (see docstring):
@@ -201,6 +207,17 @@ def bounce_tile(
         if plane_mask is not None:
             we_mask = we_mask & ~plane_mask
         we = jnp.where(we_mask, w, 1.0)
+        # Winner validity probability (round 5): V = P(t_raw beats the
+        # t_min coin), the smoothed candidate gate.  Saturates to exactly
+        # 1 for ordinary hits; the chain's PREVIOUS winner is hard-gated
+        # in the scan (its V is {0,1}), close enough to the saturated
+        # sigmoid that the weight-only difference is negligible.
+        from .intersect import validity_scale
+
+        v_w = 1.0 / (1.0 + jnp.exp(-jnp.clip(
+            (t_raw_w - t_min) / (validity_scale(soft, r) + 1e-12),
+            -30.0, 30.0)))
+        ve = jnp.where(we_mask, v_w, 1.0)
         bval, bcx, bcy, bcz, brr = blocker
         ocbx, ocby, ocbz = bcx - ox, bcy - oy, bcz - oz
         tcb = ocbx * dx + ocby * dy + ocbz * dz
@@ -210,30 +227,46 @@ def bounce_tile(
             discb / (silhouette_scale(soft, brr) + 1e-12), -30.0, 30.0
         )
         mb = 1.0 / (1.0 + jnp.exp(-xsb))
-        # Would-be hit t of the blocker strictly in front of the winner
-        # (t_max on miss lanes, the true plane t on plane lanes).
+        # Would-be (clamped) hit t of the blocker strictly in front of the
+        # winner (t_max on miss lanes, the true plane t on plane lanes),
+        # and its validity probability.
         sqb = jnp.sqrt(jnp.maximum(discb, _DISC_EPS))
         tnb = tcb - sqb
-        t_b = jnp.where(tnb > t_min, tnb, tcb + sqb)
+        t_raw_b = jnp.where(tnb > t_min, tnb, tcb + sqb)
+        t_b = jnp.maximum(t_raw_b, t_min)
+        v_b = 1.0 / (1.0 + jnp.exp(-jnp.clip(
+            (t_raw_b - t_min) / (validity_scale(soft, brr) + 1e-12),
+            -30.0, 30.0)))
         blocker_on = bval & alive
         if plane4 is not None:
             # Stochastic plane-vs-sphere WINNER SELECT (round 5, opaque-
             # opaque intersection edges).  The blocker slot is dual-role on
-            # plane scenes: an acceptance-coin-REJECTED front sphere (the
-            # usual M term) or the ACCEPTED sphere that lost the crossing
+            # plane scenes: a coin-REJECTED front sphere (the usual
+            # blocking term) or the ACCEPTED sphere that lost the crossing
             # coin (stashed by the forward's plane_override).  The roles
-            # are distinguished by replaying the blocker's acceptance coin
-            # from u[7] — bit-identical to the scan's test.
+            # are distinguished by replaying the blocker's acceptance AND
+            # validity coins — bit-identical to the scan's tests.
             from .pallas_common import silhouette_logit_tile
 
             acc_b = discb > silhouette_logit_tile(u[7]) * silhouette_scale(
                 soft, brr
             )
-            front_blk = blocker_on & ~acc_b
+            valc_b = t_raw_b > t_min + silhouette_logit_tile(uv) * (
+                validity_scale(soft, brr)
+            )
+            front_blk = blocker_on & ~(acc_b & valc_b)
         else:
             front_blk = blocker_on
-        m = jnp.where(front_blk & (t_b < t), mb, 0.0)
-        den = jnp.maximum(we - m, np.float32(SIL_P_FLOOR))
+        # Joint factor over the SHARED (u7, uv) coin pair:
+        # p = We Ve - min(We, Wb) min(Ve, Vb)  — P(winner passes both and
+        # the blocker fails at least one).
+        fb = front_blk & (t_b < t)
+        wb = jnp.where(fb, mb, 0.0)
+        vb = jnp.where(fb, v_b, 1.0)
+        blk_term = jnp.where(
+            fb, jnp.minimum(we, wb) * jnp.minimum(ve, vb), 0.0
+        )
+        den = jnp.maximum(we * ve - blk_term, np.float32(SIL_P_FLOOR))
         if plane4 is not None:
             from .intersect import crossing_scale, grad_capped_sqrt
 
@@ -256,11 +289,13 @@ def bounce_tile(
                 jnp.maximum(discb, _DISC_EPS), silhouette_scale(soft, brr)
             )
             tnbx = tcb - sqbx
-            t_bx = jnp.where(tnbx > t_min, tnbx, tcb + sqbx)
+            t_bx = jnp.maximum(
+                jnp.where(tnbx > t_min, tnbx, tcb + sqbx), t_min
+            )
             sigx_b = crossing_scale(soft, brr)
             q_p = 1.0 / (1.0 + jnp.exp(-jnp.clip(
                 (t_bx - t) / (sigx_b + 1e-12), -30.0, 30.0)))
-            cross_loser = blocker_on & acc_b & plane_mask
+            cross_loser = blocker_on & acc_b & valc_b & plane_mask
             qf = jnp.where(cross_loser, q_p, qf)
             # Floor only (we - m): a logistic's score is bounded, and
             # flooring qf breaks the two-sided pair cancellation
@@ -322,7 +357,7 @@ def _grad_fwd_kernel(
     # VMEM ray state
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     tr_ref, tg_ref, tb_ref, rr_ref, rg_ref, rb_ref,
-    alive_ref, pix_ref, samp_ref,
+    alive_ref, pprev_ref, pix_ref, samp_ref,
     # outputs: next state (13) + residuals (idx, attr9, mat)
     n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
     n_tr, n_tg, n_tb, n_rr, n_rg, n_rb, n_alive,
@@ -339,8 +374,11 @@ def _grad_fwd_kernel(
     shape = (_SUB, _LANE)
     soft = softness > 0.0
     if soft:
-        # Blocker residuals (two-sided silhouette scheme, round 5).
-        o_bidx, o_bcx, o_bcy, o_bcz, o_br = rest
+        # Blocker residuals (two-sided silhouette scheme, round 5) + the
+        # previous-winner next-state plane (validity-coin hard gate).
+        o_bidx, o_bcx, o_bcy, o_bcz, o_br, n_prev = rest
+    else:
+        (n_prev,) = rest
 
     def do_bounce():
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
@@ -349,8 +387,14 @@ def _grad_fwd_kernel(
         u = _uniforms7(k0, k1, pix_ref[:], samp_ref[:], bounce)
         sil = blk = None
         if soft:
+            c1b = samp_ref[:] << jnp.uint32(8)
+            _, wuv = threefry2x32(
+                k0, k1, pix_ref[:], c1b | (jnp.uint32(128) + bounce)
+            )
+            uv = to_unit_float(wuv)
             winner, (qi, qx, qy, qz, qr) = closest_hit_scan_soft(
-                tables, ox, oy, oz, dx, dy, dz, u[7], sil_ref,
+                tables, ox, oy, oz, dx, dy, dz, u[7], uv, pprev_ref[:],
+                sil_ref,
                 n_spheres=n_spheres, t_min=t_min, t_max=t_max,
                 softness=softness,
             )
@@ -389,6 +433,7 @@ def _grad_fwd_kernel(
         o_ar[:], o_ag[:], o_ab[:] = ar, ag, ab
         o_fz[:], o_io[:] = fz, io
         o_mat[:] = mat
+        n_prev[:] = jnp.where(alive & hit, bi, -1)
         if soft:
             o_bidx[:] = qi
             o_bcx[:], o_bcy[:], o_bcz[:], o_br[:] = qx, qy, qz, qr
@@ -400,6 +445,7 @@ def _grad_fwd_kernel(
         n_rr[:], n_rg[:], n_rb[:] = rr_ref[:], rg_ref[:], rb_ref[:]
         zero = jnp.zeros(shape, jnp.float32)
         n_alive[:] = zero
+        n_prev[:] = pprev_ref[:]
         o_idx[:] = jnp.full(shape, -1, jnp.int32)
         o_cx[:] = zero
         o_cy[:] = zero
@@ -729,29 +775,32 @@ def _fused_fwd_impl(
 
     zero = ox * 0.0
     one = zero + 1.0
+    prev0 = (zero).astype(jnp.int32) - 1
     state0 = tuple(
         _cast_vma(s, vma)
-        for s in (ox, oy, oz, dx, dy, dz, one, one, one, zero, zero, zero, alive0)
+        for s in (ox, oy, oz, dx, dy, dz, one, one, one, zero, zero, zero,
+                  alive0, prev0)
     )
 
     soft = softness > 0.0
-    # Soft-scan SMEM aux (band scale + 1/r^2 per sphere); tiny dummy when
-    # hard so the kernel arity is static.
+    # Soft-scan SMEM aux (per-sphere band scales, soft_scan_tables); tiny
+    # dummy when hard so the kernel arity is static.
     sil2 = (
         soft_scan_tables(tables, softness) if soft
-        else jnp.zeros((2,), jnp.float32)
+        else jnp.zeros((4,), jnp.float32)
     )
-    n_out = 29 if soft else 24
+    n_out = 30 if soft else 25
     out_shapes = (f32out,) * 13 + (i32out,) + (f32out,) * 9 + (i32out,)
     if soft:
         out_shapes = out_shapes + (i32out,) + (f32out,) * 4
+    out_shapes = out_shapes + (i32out,)  # n_prev (last)
 
     def body(st, b):
         meta3 = jnp.stack([k0u, k1u, b]).astype(jnp.uint32)
         outs = pl.pallas_call(
             kernel,
             grid=(rows // _SUB,),
-            in_specs=[smem] * 14 + [blk] * 15,
+            in_specs=[smem] * 14 + [blk] * 16,
             out_specs=tuple([blk] * n_out),
             out_shape=out_shapes,
             cost_estimate=pl.CostEstimate(
@@ -761,10 +810,10 @@ def _fused_fwd_impl(
             ),
             interpret=interpret,
         )(*tables, sky6, meta3, sil2, *st, pix_u, samp_u)
-        nxt = tuple(outs[:13])
+        nxt = tuple(outs[:13]) + (outs[-1],)
         resid = (st[0], st[1], st[2], st[3], st[4], st[5],
                  st[6], st[7], st[8], st[12],
-                 outs[13], *outs[14:23], outs[23], *outs[24:])
+                 outs[13], *outs[14:23], outs[23], *outs[24:-1])
         return nxt, resid
 
     final, resids = jax.lax.scan(

@@ -169,7 +169,7 @@ def _regen_fwd_kernel(
             scr = rest[1:]
     (kb_s, s_s, b_s, alive_s,
      ox_s, oy_s, oz_s, dx_s, dy_s, dz_s,
-     tr_s, tg_s, tb_s, acr_s, acg_s, acb_s) = scr
+     tr_s, tg_s, tb_s, acr_s, acg_s, acb_s, prev_s) = scr
     f32 = jnp.float32
     shape = (_SUB, _LANE)
     tables = (
@@ -204,6 +204,7 @@ def _regen_fwd_kernel(
         acr_s[:] = zero
         acg_s[:] = zero
         acb_s[:] = zero
+        prev_s[:] = jnp.full(shape, -1, jnp.int32)
 
     busy = jnp.any((kb_s[:] < nbank_u) | (alive_s[:] > 0.0))
 
@@ -274,8 +275,17 @@ def _regen_fwd_kernel(
             u = _uniforms7_tile(k0, k1, pix, samp, b)
             blk = None
             if soft:
+                # Validity + crossing coins share one eval (slot 128 + b;
+                # ops/sampling.crossing_noise): word 0 = plane-crossing,
+                # word 1 = candidate validity.  The previous-winner carry
+                # hard-gates the chain's own sphere (reset at regen).
+                wx0, wuv = threefry2x32(
+                    k0, k1, pix, c1b | (jnp.uint32(128) + b)
+                )
+                uv = to_unit_float(wuv)
+                prev = jnp.where(regen, -1, prev_s[:])
                 winner, (qi, qx, qy, qz, qr) = closest_hit_scan_soft(
-                    tables, ox, oy, oz, dx, dy, dz, u[7], sil_ref,
+                    tables, ox, oy, oz, dx, dy, dz, u[7], uv, prev, sil_ref,
                     n_spheres=n_spheres, t_min=t_min, t_max=t_max,
                     softness=softness,
                 )
@@ -304,9 +314,6 @@ def _regen_fwd_kernel(
                     # replaying the acceptance coin.
                     from .intersect import crossing_scale
 
-                    wx0, _ = threefry2x32(
-                        k0, k1, pix, c1b | (jnp.uint32(128) + b)
-                    )
                     ux = to_unit_float(wx0)
                     pre_t, pre_i = winner[0], winner[1]
                     pre_cx, pre_cy, pre_cz, pre_r = (
@@ -415,6 +422,11 @@ def _regen_fwd_kernel(
             )
             kb_s[:] = jnp.where(flush, kb + jnp.uint32(1), kb)
             alive_s[:] = jnp.where(surv, 1.0, 0.0)
+            if soft:
+                pn = jnp.where(hit, bi, -1)
+                if use_plane:
+                    pn = jnp.where(bi == PLANE_IDX, -1, pn)
+                prev_s[:] = pn
             return (word, bword) if soft else (word,)
 
         zero_i = jnp.zeros(shape, jnp.int32)
@@ -551,11 +563,18 @@ def _regen_bwd_kernel(
                     # the stochastic winner-select probability on EVERY
                     # sphere-win lane (not just plane winners), so it is a
                     # differentiable vjp input of its own; the unit normal
-                    # stays detached (closed-over broadcast tiles).
+                    # stays detached (closed-over broadcast tiles).  The
+                    # validity coin uv (slot 128 + b, word 1) replays the
+                    # blocker's coin tests for role disambiguation.
                     pn4 = tuple(
                         jnp.full(shape, plane_ref[i2]) for i2 in range(3)
                     )
                     pk_t = jnp.full(shape, plane_ref[3])
+                    _, wuv = threefry2x32(
+                        k0, k1, pix,
+                        (samp << jnp.uint32(8)) | (jnp.uint32(128) + b),
+                    )
+                    uvt = to_unit_float(wuv)
 
                     def f(o3, d3, tp3, a9, sky6, blk4, pk_tile):
                         return bounce_tile(
@@ -564,7 +583,7 @@ def _regen_bwd_kernel(
                             rr_on=bool(rr_start_depth),
                             silhouette=sil, plane_mask=pm,
                             blocker=(bval, *blk4),
-                            plane4=(*pn4, pk_tile),
+                            plane4=(*pn4, pk_tile), uv=uvt,
                         )[:4]
 
                     _, pull = jax.vjp(f, o3, d3, tp3, a9, skyt, blk4, pk_t)
@@ -670,7 +689,7 @@ def _regen_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, plane7,
     # Soft-scan SMEM aux (band scale + 1/r^2); tiny dummy when hard.
     sil2 = (
         soft_scan_tables(tables, softness) if soft
-        else jnp.zeros((2,), jnp.float32)
+        else jnp.zeros((4,), jnp.float32)
     )
     n_res = (2 if soft else 1) if emit_idx_only else _n_res(softness)
 
@@ -727,7 +746,7 @@ def _regen_fwd_impl(pix, xf, yf, soff, meta2, cam19, tables, sky6, plane7,
         res_specs = [res_out] * n_res
     scratch = [pltpu.VMEM((_SUB, _LANE), jnp.uint32)] * 3 + [
         pltpu.VMEM((_SUB, _LANE), jnp.float32)
-    ] * 13
+    ] * 13 + [pltpu.VMEM((_SUB, _LANE), jnp.int32)]
 
     outs = pl.pallas_call(
         kernel,

@@ -134,20 +134,22 @@ def bounce_noise(ctx: RayCtx, bounce):
 
 
 def crossing_noise(ctx: RayCtx, bounce):
-    """Winner-crossing coin for bounce ``bounce``: one uniform [N].
+    """The two t-threshold coins for bounce ``bounce``: (ux, uv), each [N].
 
-    Drives the stochastic plane-vs-sphere winner select of the
+    ux drives the stochastic plane-vs-sphere winner select of the
     opaque-opaque intersection-edge estimator (round 5): the nearest
-    accepted sphere beats the plane iff t_s < t_p + logit(u) * sigma_x.
-    Lives in its own slot region (128 + b; the 8-bit slot space is only
-    used to 125 by the bounce/camera map) so the established stream is
-    untouched; only evaluated on plane scenes with softness > 0.  Word 1
-    of the eval is reserved (future sphere-sphere crossing coin).
+    accepted sphere beats the plane iff t_s < t_p + logit(ux) * sigma_x.
+    uv drives the candidate-VALIDITY coin: candidate s is valid iff
+    t_raw > t_min + logit(uv) * sigma_v(r_s) — the smoothed form of the
+    t > t_min gate whose far-root flips carried the phantom-continuation
+    gradient mass.  Lives in its own slot region (128 + b; the 8-bit slot
+    space is only used to 125 by the bounce/camera map) so the established
+    stream is untouched; only evaluated when softness > 0.
     """
     slot = jnp.uint32(128) + jnp.asarray(bounce, jnp.uint32)
     c1 = (ctx.sample << jnp.uint32(8)) | slot
-    w0, _ = threefry2x32(ctx.k0, ctx.k1, ctx.pixel, c1)
-    return _to_unit_float(w0)
+    w0, w1 = threefry2x32(ctx.k0, ctx.k1, ctx.pixel, c1)
+    return _to_unit_float(w0), _to_unit_float(w1)
 
 
 def camera_jitter(ctx: RayCtx):

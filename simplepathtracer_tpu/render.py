@@ -246,8 +246,8 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
         attr9 = sg_tables = None
 
     def bounce(carry, b):
-        o, d, tp, rad, alive = carry
-        wc3 = wr = pw_mask = blk = ph_t = cross_valid = None
+        o, d, tp, rad, alive, prev = carry
+        wc3 = wr = pw_mask = blk = ph_t = cross_valid = widx = None
         unif = bounce_noise(keys, b)
         if config.use_pallas_hits:
             # Gradient fast path: the closest-hit kernel returns the winner
@@ -293,12 +293,16 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
                 # acceptance by silhouette opacity, and the strongest
                 # REJECTED front sphere (the blocker) is tracked for the
                 # detached probability ratio below.
+                from .ops.sampling import crossing_noise
+
+                _, uvw = crossing_noise(keys, b)
                 hit, blk = intersect_scene_soft(
-                    o, d, unif[:, 7], scene, config.t_min, config.t_max,
-                    config.silhouette_softness,
+                    o, d, unif[:, 7], uvw, scene, config.t_min, config.t_max,
+                    config.silhouette_softness, prev_idx=prev,
                 )
                 wc3 = scene.centers[hit.index]
                 wr = scene.radii[hit.index]
+                widx = jnp.where(hit.hit, hit.index, -1)
             else:
                 hit = intersect_scene(o, d, scene, config.t_min, config.t_max)
             from .ops import intersect as _I
@@ -319,9 +323,12 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
             from .ops.plane import ray_plane_intersection
 
             if config.silhouette_softness > 0.0:
+                from .ops.sampling import crossing_noise
+
+                uxw, uvw = crossing_noise(keys, b)
                 hit, blk = intersect_scene_soft(
-                    o, d, unif[:, 7], scene, config.t_min, config.t_max,
-                    config.silhouette_softness,
+                    o, d, unif[:, 7], uvw, scene, config.t_min, config.t_max,
+                    config.silhouette_softness, prev_idx=prev,
                 )
             else:
                 hit = intersect_scene(o, d, scene, config.t_min, config.t_max)
@@ -343,11 +350,9 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
                 # below, carrying the intersection-circle edge gradient
                 # dq * (L_sphere - L_plane) no smoothing estimator reaches.
                 from .ops.intersect import crossing_scale, silhouette_logit
-                from .ops.sampling import crossing_noise
 
                 sg = jax.lax.stop_gradient
-                ux = crossing_noise(keys, b)
-                thr_x = silhouette_logit(ux) * crossing_scale(
+                thr_x = silhouette_logit(uxw) * crossing_scale(
                     config.silhouette_softness, sg(scene.radii[hit.index])
                 )
                 pw = ph.hit & ~(hit.hit & (hit.t < ph.t + thr_x))
@@ -382,6 +387,7 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
                 wc3 = scene.centers[i]
                 wr = scene.radii[i]
                 pw_mask = pw
+                widx = jnp.where(hit.hit & ~pw, hit.index, -1)
 
         if config.silhouette_softness > 0.0:
             # Two-sided silhouette gradients (round 5): the realized scan
@@ -404,10 +410,27 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
             xsw = jnp.clip(
                 discw / (silhouette_scale(soft, wr) + 1e-12), -30.0, 30.0
             )
+            from .ops.intersect import grad_capped_sqrt, validity_scale
+
             sphere_win = alive & hit.hit
             if pw_mask is not None:
                 sphere_win = sphere_win & ~pw_mask
             we = jnp.where(sphere_win, 1.0 / (1.0 + jnp.exp(-xsw)), 1.0)
+            # Winner validity probability (round 5): V = P(t_raw beats the
+            # t_min coin) — the smoothed candidate gate (see
+            # intersect_scene_soft).  Recomputed differentiably from the
+            # winner attributes; the realized t used everywhere is the
+            # CLAMPED max(t_raw, t_min).
+            sqw = grad_capped_sqrt(
+                jnp.maximum(discw, 1e-12), silhouette_scale(soft, wr)
+            )
+            tnw = tcw - sqw
+            t_raw_w = jnp.where(tnw > config.t_min, tnw, tcw + sqw)
+            v_w = jax.nn.sigmoid(jnp.clip(
+                (t_raw_w - config.t_min) / (validity_scale(soft, wr) + 1e-12),
+                -30.0, 30.0,
+            ))
+            ve = jnp.where(sphere_win, v_w, 1.0)
             bi = jnp.maximum(blk, 0)
             bc = scene.centers[bi]
             brr = scene.radii[bi]
@@ -417,22 +440,33 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
             xsb = jnp.clip(
                 discb / (silhouette_scale(soft, brr) + 1e-12), -30.0, 30.0
             )
-            # Validity: recorded, live lane, and the blocker's WOULD-BE hit
-            # t (same clamped-sqrt formula as an accepted winner) strictly
-            # in front of the FINAL winner (the scan's running-min filter
-            # is a superset).
+            # Blocker probabilities: recorded, live lane, and its would-be
+            # (clamped) hit t strictly in front of the FINAL winner.  With
+            # the validity coin the blocker may have failed EITHER coin;
+            # the joint factor over the SHARED (u7, uv) pair is
+            #   p = We Ve - min(We, Wb) min(Ve, Vb)
+            # (P(winner passes both and blocker fails at least one)).
             sqb = jnp.sqrt(jnp.maximum(discb, 1e-12))
             tnb = tcb - sqb
-            t_b = jnp.where(tnb > config.t_min, tnb, tcb + sqb)
+            t_raw_b = jnp.where(tnb > config.t_min, tnb, tcb + sqb)
+            t_b = jnp.maximum(t_raw_b, config.t_min)
+            v_b = jax.nn.sigmoid(jnp.clip(
+                (t_raw_b - config.t_min)
+                / (validity_scale(soft, brr) + 1e-12),
+                -30.0, 30.0,
+            ))
             bvalid = (blk >= 0) & alive & (t_b < hit.t)
-            m = jnp.where(bvalid, 1.0 / (1.0 + jnp.exp(-xsb)), 0.0)
+            wb = jnp.where(bvalid, 1.0 / (1.0 + jnp.exp(-xsb)), 0.0)
+            vb = jnp.where(bvalid, v_b, 1.0)
             # The floor caps the REINFORCE weight |d p| / p on near-
             # impossible outcomes (variance control; grad is 0 below it).
             from .ops.intersect import SIL_P_FLOOR
 
             if "sg_wm" in _SIL_DBG:
-                we, m = jax.lax.stop_gradient((we, m))
-            p_out = we - m
+                we, wb, ve, vb = jax.lax.stop_gradient((we, wb, ve, vb))
+            blk_term = jnp.where(
+                bvalid, jnp.minimum(we, wb) * jnp.minimum(ve, vb), 0.0
+            )
             if ph_t is not None:
                 # Crossing factor (see the stochastic winner select above):
                 # q = P(sphere wins) from the DIFFERENTIABLE t's — t_w via
@@ -442,13 +476,9 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
                 # sigmoid(+-30)); phantom-winner double-edges keep only the
                 # crossing term (their We is handled on sphere-win lanes
                 # only — documented single-competitor approximation).
-                from .ops.intersect import crossing_scale, grad_capped_sqrt
+                from .ops.intersect import crossing_scale
 
-                sqw = grad_capped_sqrt(
-                    jnp.maximum(discw, 1e-12), silhouette_scale(soft, wr)
-                )
-                tnw = tcw - sqw
-                t_w = jnp.where(tnw > config.t_min, tnw, tcw + sqw)
+                t_w = jnp.maximum(t_raw_w, config.t_min)
                 sigx = crossing_scale(soft, wr)
                 qx = jax.nn.sigmoid(
                     jnp.clip((ph_t - t_w) / (sigx + 1e-12), -30.0, 30.0)
@@ -463,7 +493,7 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
                     & (jax.lax.stop_gradient(t_w - ph_t)
                        < 30.0 * jax.lax.stop_gradient(sigx))
                 )
-                p_out = we - jnp.where(steal, 0.0, m)
+                blk_term = jnp.where(steal, 0.0, blk_term)
                 qx_s = qx
                 qx_p = qx
                 if "sg_qf_sphere" in _SIL_DBG:
@@ -483,6 +513,7 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
             # -plane tail (1-q < floor) zeroes while the realized-sphere side
             # keeps +dq L_A, leaving a net wrong-signed bias measured at ~35%
             # of the crossing term (experiments/r5_crossing_fd.py).
+            p_out = we * ve - blk_term
             den = jnp.maximum(p_out, SIL_P_FLOOR)
             if ph_t is not None:
                 den = den * qf
@@ -503,14 +534,18 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
             surviving = surviving & ~kill
             boost = (b >= jnp.uint32(config.rr_start_depth)) & surviving
             tp = jnp.where(boost[:, None], tp / q[:, None], tp)
-        return (o, d, tp, rad, surviving), None
+        # Previous-winner carry (validity coin's hard-gate target): the
+        # sphere the chain just bounced off; -1 on plane/miss lanes.
+        prev = widx if widx is not None else jnp.full_like(prev, -1)
+        return (o, d, tp, rad, surviving, prev), None
 
     n = origins.shape[0]
-    tp0, rad0, alive0 = _vary_like(
-        (jnp.ones((n, 3), jnp.float32), jnp.zeros((n, 3), jnp.float32), jnp.ones((n,), bool)),
+    tp0, rad0, alive0, prev0 = _vary_like(
+        (jnp.ones((n, 3), jnp.float32), jnp.zeros((n, 3), jnp.float32),
+         jnp.ones((n,), bool), jnp.full((n,), -1, jnp.int32)),
         (origins, dirs, keys),
     )
-    init = (origins, dirs, tp0, rad0, alive0)
+    init = (origins, dirs, tp0, rad0, alive0, prev0)
     # Remat policy: the full-jnp bounce materializes [rays, spheres]
     # intersection intermediates, so its backward must rematerialize per
     # bounce (jax.checkpoint) to stay memory-feasible (SURVEY.md S7 hard
@@ -518,7 +553,7 @@ def trace_rays(origins, dirs, keys, scene: Scene, config: RenderConfig):
     # (detached argmin + gather reconstruction), cheap enough to save —
     # skipping remat halves the backward's recompute.
     body = bounce if config.use_pallas_hits else jax.checkpoint(bounce)
-    (o, d, tp, rad, alive), _ = jax.lax.scan(
+    (o, d, tp, rad, alive, _prev), _ = jax.lax.scan(
         body, init, jnp.arange(config.max_depth, dtype=jnp.uint32)
     )
     # Rays still alive after the bounce budget return black (Shirley), like

@@ -7,12 +7,18 @@ detached REINFORCE ratio.  Scenes here have spheres POKING THROUGH the
 ground plane so the crossing band is actually exercised (the pre-existing
 plane tests keep their spheres clear of it).
 
+The companion VALIDITY coin (same eval, word 1) softens the t > t_min
+candidate gate whose far-root flips at phantom-continuation origins
+carried the other major share of the edge mass; the chain's previous
+winner keeps the hard gate (its own far root sits at exactly 0 — a coin
+there re-validates bounces as in-place self-hits).
+
 Validated here: jnp/kernel forward + gradient equivalence, stream-vs-remat
 bit-identity, and the estimator's sign fix (the buried sphere's radius
-gradient measured AD/FD = -0.49 WRONG-SIGNED one-sided; the crossing coin
-brings it positive and O(1) — experiments/r5_crossing_fd.py has the full
-study, including the documented residual: secondary-chain far-root/t_min
-gate flips of phantom continuations are NOT owned by any coin).
+gradient measured AD/FD = -0.49 WRONG-SIGNED one-sided; with both coins
+it is positive and O(1) — experiments/r5_crossing_fd.py and BASELINE.md
+late-round-5 section have the full study; the remaining unowned class is
+the near/far-root SELECT jump).
 """
 
 import jax
@@ -104,14 +110,34 @@ def test_crossing_stream_matches_remat():
         np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-6, err_msg=k)
 
 
+def test_validity_coin_no_self_hits_no_nan():
+    """Regression: a validity band centered at t_min would re-validate the
+    chain's own sphere (far root exactly 0) on ~45% of bounces — in-place
+    self-hit loops that surfaced as rare-sample NaNs at depth 3.  The
+    previous-winner hard gate must keep deep soft renders finite and
+    energy-sane."""
+    scene, cam, cfg, key = _setup(width=48, height=24, spp=1024, depth=4)
+    img = np.asarray(inverse.render_linear(scene, cam, cfg, key))
+    assert np.isfinite(img).all()
+    # Self-hit loops eat throughput: the mean must stay near the hard
+    # render's (soft smoothing alone moves it well under 5%).
+    hard = np.asarray(inverse.render_linear(
+        scene, cam, cfg.replace(silhouette_softness=0.0, spp=256), key
+    ))
+    assert abs(img.mean() - hard.mean()) < 0.05 * hard.mean(), (
+        img.mean(), hard.mean()
+    )
+
+
 def test_crossing_fixes_buried_radius_gradient_sign():
     """The headline estimator check: d loss / d radius of the half-buried
     sphere.  One-sided round 4 measured AD/FD = -0.49 (WRONG-SIGNED: the
-    intersection-circle edge mass was invisible); with the crossing coin
-    the jnp AD must carry the same sign as CRN finite differences and an
-    O(1) fraction of their magnitude.  (Exact AD/FD ~ 0.76-0.93 at this
-    scene class; the documented residual is the secondary-chain far-root
-    gate — experiments/r5_crossing_fd.py.)"""
+    intersection-circle edge mass was invisible); with the crossing +
+    validity coins the jnp AD must carry the same sign as CRN finite
+    differences and an O(1) fraction of their magnitude (~0.44 at this
+    depth-3 MSE config at high spp; the crossing-zoom scene reads
+    0.86-0.89 — the remaining unowned class is the near/far-root select
+    jump, BASELINE.md late round 5)."""
     scene, cam, cfg, key = _setup(width=48, height=24, spp=512, depth=3)
     prng = np.random.default_rng(11)
     pert = scene.replace(
