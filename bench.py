@@ -119,8 +119,10 @@ FLOORS = {
     "fwd_bwd_sustained_rr_balanced_paths_per_sec": 17e6,   # measured 26.9M
     # Round 5: soft = the TWO-SIDED stochastic-transparency estimator
     # (correct visibility gradients; the one-sided blend measured 21.0M
-    # with AD/FD = 0.49 — not comparable).  Measured 15.7M on chip.
-    "fwd_bwd_sustained_soft_paths_per_sec": 11e6,
+    # with AD/FD = 0.49 — not comparable).  Measured 15.7M on chip;
+    # 14.8M with the late-round-5 intersection-edge coins (crossing +
+    # validity — BASELINE.md late round 5).
+    "fwd_bwd_sustained_soft_paths_per_sec": 10e6,
     "fwd_bwd_sustained_500spp_paths_per_sec": 14e6,        # measured 21.2M
     "fwd_bwd_sustained_500spp_rr_paths_per_sec": 17e6,     # measured 25.8M
 }

@@ -7,6 +7,14 @@ continuations and the sky miss shader, so AD-vs-FD mismatches can be
 ablated term by term without re-tracing the full renderer.
 
 Run: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python experiments/r5_crossing_replica.py
+
+Historical note: this replica's ablations located the two missing terms
+that became production estimators — the crossing coin (this file's
+bounce) and the t_min VALIDITY coin (v5 variant, developed in-session:
+AD/FD 0.98 once the blocker factor dropped its erroneous hit_any gate).
+The final design, including the previous-winner hard gate that keeps the
+validity coin from re-validating self-hits, lives in ops/intersect.py /
+ops/pallas_common.py and is summarized in BASELINE.md (late round 5).
 """
 
 import sys
