@@ -10,6 +10,14 @@ round-4 one-sided blend measured AD/FD = 0.49 on geometry leaves
 should bring it into [0.9, 1.1].
 
 Run: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python experiments/r5_two_sided_fd.py
+
+Scale caveat (late round 5): at this toy size the CENTERS direction's AD
+is ~40x smaller than the radii direction's and sits on unowned-edge
+noise — it read -0.26 BEFORE the intersection-edge coins and about -0.46
+after (not a regression; radii/albedo hold 1.00).  The decisive
+geometry-class numbers are the on-chip ones (experiments/
+r5_fd_validation.py): 0.92-1.01 across classes with the full estimator,
+giant-ground-sphere geometry 0.877 from wrong-signed.
 """
 
 import functools
