@@ -235,3 +235,47 @@ def test_plane_offset_fit_converges_on_chip():
     )
     err0, err1 = 0.3, abs(float(rec.plane[3]) - 0.5)
     assert err1 < err0 * 0.25, f"offset fit did not converge: {err1:.4f}"
+
+
+def test_buried_radius_fit_converges_on_chip():
+    """Intersection-edge recovery (late round 5): a half-buried sphere's
+    radius, whose loss signal lives at its intersection CIRCLE with the
+    ground plane — the edge class the crossing + validity coins own (the
+    one-sided estimator measured AD/FD = -0.49 there: wrong-signed, the
+    fit would run AWAY from truth).  Measured on chip: 0.30 -> 0.3981
+    against truth 0.40 in 80 steps at 256x128@128spp (54x error
+    reduction); this asserts a 5x margin."""
+    import jax.numpy as jnp
+
+    from simplepathtracer_tpu import inverse, scenes
+    from simplepathtracer_tpu.types import Material
+
+    sc = scenes._scene_from_lists(
+        [[0.0, -0.5, 1.0], [0.9, -0.35, 1.3], [-0.85, -0.62, 0.9]],
+        [0.4, 0.3, 0.35],
+        [[0.1, 0.2, 0.5], [0.8, 0.6, 0.2], [0.7, 0.15, 0.15]],
+        [Material.LAMBERTIAN] * 3, [0.0] * 3, [1.5] * 3,
+        scenes.SHIRLEY_SKY_LO, scenes.SHIRLEY_SKY_HI,
+    )
+    truth = scenes.with_ground_plane(sc)
+    cam = spt.make_camera(origin=(0.0, 0.5, -1.2), lookat=(0.0, -0.35, 1.0),
+                          vfov_deg=55)
+    from simplepathtracer_tpu.render import grad_safe_config
+
+    cfg = grad_safe_config(spt.RenderConfig(
+        width=256, height=128, spp=128, max_depth=5, use_pallas=True,
+        silhouette_softness=0.05,
+    ))
+    key = jax.random.PRNGKey(0)
+    target = inverse.render_linear(
+        truth, cam, cfg.replace(silhouette_softness=0.0),
+        jax.random.PRNGKey(42),
+    )
+    start = truth.replace(radii=truth.radii.at[0].set(0.30))
+    mask = {"radii": jnp.zeros((3,), jnp.float32).at[0].set(1.0)}
+    rec, _ = inverse.fit(
+        start, target, cam, cfg, key, steps=80, lr=2e-2,
+        leaves=("radii",), param_mask=mask, softness=0.05,
+    )
+    err0, err1 = 0.1, abs(float(rec.radii[0]) - 0.4)
+    assert err1 < err0 * 0.2, f"buried-radius fit did not converge: {err1:.4f}"
